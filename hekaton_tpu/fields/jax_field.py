@@ -1,0 +1,413 @@
+"""Batched multi-limb Montgomery field arithmetic for TPU (JAX/XLA).
+
+Field elements are `(..., 16)` uint32 arrays holding 16 little-endian 16-bit
+limbs in Montgomery form (radix R = 2^256). All ops are branchless and
+elementwise over arbitrary leading batch dims, so XLA vectorizes them over the
+VPU and `vmap`/`shard_map` distribute them over chips.
+
+Why 16-bit limbs: for 16-bit a,b,c,d the value a*b + c + d < 2^32 exactly, so
+every partial-product/carry step fits u32 with no overflow — the TPU VPU's
+native integer width. This replaces arkworks' x86-64 asm field arithmetic
+(the reference's only native acceleration, see
+/root/reference/distributed-prover/Cargo.toml:79).
+
+Design: separated (non-interleaved) Montgomery REDC — full 512-bit product by
+column accumulation (high parallelism, one short carry chain) rather than the
+CPU-style fully-sequential CIOS loop, because the VPU wants wide independent
+ops, not long dependency chains.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bn254 import (
+    LIMB_BITS,
+    LIMB_MASK,
+    MONT_R,
+    NLIMBS,
+    P,
+    R,
+    from_limbs,
+    mont_constants,
+    to_limbs,
+)
+
+u32 = jnp.uint32
+MASK = np.uint32(LIMB_MASK)
+
+
+class FieldSpec:
+    """Static per-modulus data: limb-encoded modulus and Montgomery constants."""
+
+    def __init__(self, modulus: int, name: str):
+        self.modulus = modulus
+        self.name = name
+        r_mod, r2_mod, ninv = mont_constants(modulus)
+        self.r_mod = r_mod
+        self.r2_mod = r2_mod
+        self.ninv = ninv
+        self.p_limbs = np.array(to_limbs(modulus), dtype=np.uint32)
+        self.ninv_limbs = np.array(to_limbs(ninv), dtype=np.uint32)
+        self.one_mont = np.array(to_limbs(r_mod), dtype=np.uint32)
+        self.zero = np.zeros(NLIMBS, dtype=np.uint32)
+        # bits of modulus-2, LSB first, for Fermat inversion / fixed pow
+        self.inv_exp_bits = np.array(
+            [(modulus - 2) >> i & 1 for i in range((modulus - 2).bit_length())],
+            dtype=np.uint32,
+        )
+
+    # -- host <-> device packing ------------------------------------------------
+    def to_mont(self, x: int) -> int:
+        return (x % self.modulus) * MONT_R % self.modulus
+
+    def from_mont(self, x: int) -> int:
+        return x * pow(MONT_R, -1, self.modulus) % self.modulus
+
+    def pack(self, xs, mont: bool = True) -> np.ndarray:
+        """ints -> (n, 16) uint32 limb array (Montgomery form by default)."""
+        xs = [self.to_mont(x) if mont else x % self.modulus for x in xs]
+        out = np.empty((len(xs), NLIMBS), dtype=np.uint32)
+        for i, x in enumerate(xs):
+            out[i] = to_limbs(x)
+        return out
+
+    def unpack(self, arr, mont: bool = True) -> list:
+        arr = np.asarray(arr)
+        flat = arr.reshape(-1, NLIMBS)
+        out = []
+        for row in flat:
+            v = from_limbs(row)
+            out.append(self.from_mont(v) if mont else v % self.modulus)
+        return out
+
+
+FQ = FieldSpec(P, "fq")
+FR = FieldSpec(R, "fr")
+
+
+# ---------------------------------------------------------------------------
+# limb primitives
+# ---------------------------------------------------------------------------
+
+
+def _carry_canon(acc, nout):
+    """Carry-propagate column sums (< 2^21 each) into canonical 16-bit limbs."""
+    outs = []
+    c = jnp.zeros(acc.shape[:-1], u32)
+    for k in range(acc.shape[-1]):
+        v = acc[..., k] + c
+        outs.append(v & MASK)
+        c = v >> LIMB_BITS
+    while len(outs) < nout:
+        outs.append(c & MASK)
+        c = c >> LIMB_BITS
+    return jnp.stack(outs[:nout], axis=-1)
+
+
+def _mul_wide(a, b_limbs):
+    """Full 256x256 -> 512-bit product as (..., 32) canonical 16-bit limbs.
+
+    `b_limbs` may be a constant (16,) array (e.g. the modulus).
+    """
+    shape = jnp.broadcast_shapes(a.shape[:-1], jnp.shape(b_limbs)[:-1])
+    acc = jnp.zeros(shape + (33,), u32)
+    b = jnp.broadcast_to(b_limbs, shape + (NLIMBS,)) if jnp.ndim(b_limbs) == 1 else b_limbs
+    for i in range(NLIMBS):
+        p = a[..., i : i + 1] * b  # (..., 16) u32, exact
+        acc = acc.at[..., i : i + NLIMBS].add(p & MASK)
+        acc = acc.at[..., i + 1 : i + 1 + NLIMBS].add(p >> LIMB_BITS)
+    return _carry_canon(acc, 32)
+
+
+def _mul_low(a, b_limbs):
+    """Low 256 bits of a*b as (..., 16) canonical limbs (mod 2^256)."""
+    shape = a.shape[:-1]
+    acc = jnp.zeros(shape + (NLIMBS,), u32)
+    b = jnp.asarray(b_limbs, u32)
+    for i in range(NLIMBS):
+        width = NLIMBS - i
+        p = a[..., i : i + 1] * b[..., :width]
+        acc = acc.at[..., i:].add(p & MASK)
+        if width > 1:
+            acc = acc.at[..., i + 1 :].add((p >> LIMB_BITS)[..., : width - 1])
+    return _carry_canon(acc, NLIMBS)
+
+
+def _add_limbs(a, b):
+    """(a + b) over equal-width canonical limb arrays; drops final carry-out.
+
+    Safe only when the true sum fits the limb count (callers guarantee it).
+    """
+    outs = []
+    c = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), u32)
+    for k in range(a.shape[-1]):
+        v = a[..., k] + b[..., k] + c
+        outs.append(v & MASK)
+        c = v >> LIMB_BITS
+    return jnp.stack(outs, axis=-1)
+
+
+def _sub_limbs(a, b):
+    """a - b with borrow-out: returns (diff limbs, borrow in {0,1})."""
+    outs = []
+    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), u32)
+    big = np.uint32(1 << LIMB_BITS)
+    for k in range(a.shape[-1]):
+        v = a[..., k] + big - b[..., k] - borrow
+        outs.append(v & MASK)
+        borrow = 1 - (v >> LIMB_BITS)
+    return jnp.stack(outs, axis=-1), borrow
+
+
+def _cond_sub_mod(x, p_limbs):
+    """x mod p for x < 2p: one conditional subtraction."""
+    d, borrow = _sub_limbs(x, jnp.asarray(p_limbs, u32))
+    return jnp.where((borrow == 0)[..., None], d, x)
+
+
+# ---------------------------------------------------------------------------
+# Modular ops, parametrized by FieldSpec
+# ---------------------------------------------------------------------------
+
+
+def add(spec: FieldSpec, a, b):
+    return _cond_sub_mod(_add_limbs(a, b), spec.p_limbs)
+
+
+def sub(spec: FieldSpec, a, b):
+    d, borrow = _sub_limbs(a, b)
+    fixed = _add_limbs(d, jnp.broadcast_to(jnp.asarray(spec.p_limbs, u32), d.shape))
+    return jnp.where((borrow == 1)[..., None], fixed, d)
+
+
+def neg(spec: FieldSpec, a):
+    return sub(spec, jnp.zeros_like(a), a)
+
+
+def mont_mul(spec: FieldSpec, a, b):
+    """Montgomery product abR^{-1} mod p (REDC)."""
+    t = _mul_wide(a, b)
+    m = _mul_low(t[..., :NLIMBS], spec.ninv_limbs)
+    mp = _mul_wide(m, spec.p_limbs)
+    s = _add_limbs(t, mp)  # 2NR < 2^512: fits 32 limbs
+    return _cond_sub_mod(s[..., NLIMBS:], spec.p_limbs)
+
+
+def mont_sqr(spec: FieldSpec, a):
+    return mont_mul(spec, a, a)
+
+
+def double(spec: FieldSpec, a):
+    return add(spec, a, a)
+
+
+def is_zero(spec: FieldSpec, a):
+    return jnp.all(a == 0, axis=-1)
+
+
+def eq(spec: FieldSpec, a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+def select(cond, a, b):
+    """cond: (...,) bool; a, b field arrays with matching batch dims."""
+    extra = a.ndim - cond.ndim
+    return jnp.where(cond.reshape(cond.shape + (1,) * extra), a, b)
+
+
+def mont_inv(spec: FieldSpec, a):
+    """Batched Fermat inversion a^(p-2); inv(0) = 0. Branchless, fori_loop."""
+    bits = jnp.asarray(spec.inv_exp_bits)
+
+    def body(i, carry):
+        acc, base = carry
+        mul = mont_mul(spec, acc, base)
+        acc = select(bits[i] == 1, mul, acc)
+        base = mont_sqr(spec, base)
+        return acc, base
+
+    one = jnp.broadcast_to(jnp.asarray(spec.one_mont, u32), a.shape)
+    acc, _ = jax.lax.fori_loop(0, bits.shape[0], body, (one, a))
+    return select(is_zero(spec, a), jnp.zeros_like(a), acc)
+
+
+def mont_pow_const(spec: FieldSpec, a, exponent: int):
+    """a^exponent for a static exponent (device, branchless)."""
+    ebits = jnp.asarray(
+        np.array([(exponent >> i) & 1 for i in range(max(exponent.bit_length(), 1))], np.uint32)
+    )
+
+    def body(i, carry):
+        acc, base = carry
+        acc = select(ebits[i] == 1, mont_mul(spec, acc, base), acc)
+        return acc, mont_sqr(spec, base)
+
+    one = jnp.broadcast_to(jnp.asarray(spec.one_mont, u32), a.shape)
+    acc, _ = jax.lax.fori_loop(0, ebits.shape[0], body, (one, a))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Fq2 = Fq[u]/(u^2+1): shape (..., 2, 16)
+# ---------------------------------------------------------------------------
+
+
+def fq2_add(a, b):
+    return add(FQ, a, b)  # broadcasting handles the extra (2,) dim
+
+
+def fq2_sub(a, b):
+    return sub(FQ, a, b)
+
+
+def fq2_neg(a):
+    return neg(FQ, a)
+
+
+def fq2_mul(a, b):
+    a0, a1 = a[..., 0, :], a[..., 1, :]
+    b0, b1 = b[..., 0, :], b[..., 1, :]
+    t0 = mont_mul(FQ, a0, b0)
+    t1 = mont_mul(FQ, a1, b1)
+    c0 = sub(FQ, t0, t1)
+    s = mont_mul(FQ, add(FQ, a0, a1), add(FQ, b0, b1))
+    c1 = sub(FQ, sub(FQ, s, t0), t1)
+    return jnp.stack([c0, c1], axis=-2)
+
+
+def fq2_sqr(a):
+    return fq2_mul(a, a)
+
+
+def fq2_is_zero(a):
+    return jnp.all(a == 0, axis=(-1, -2))
+
+
+def fq2_eq(a, b):
+    return jnp.all(a == b, axis=(-1, -2))
+
+
+# ---------------------------------------------------------------------------
+# Generic field-ops namespaces (the curve layer is templated on these;
+# G1 instantiates over Fq, G2 over Fq2 — same Jacobian formulas)
+# ---------------------------------------------------------------------------
+
+
+class FqOps:
+    """Fq ops namespace: elements are (..., 16) uint32."""
+
+    ndim = 1
+    spec = FQ
+
+    add = staticmethod(lambda a, b: add(FQ, a, b))
+    sub = staticmethod(lambda a, b: sub(FQ, a, b))
+    neg = staticmethod(lambda a: neg(FQ, a))
+    mul = staticmethod(lambda a, b: mont_mul(FQ, a, b))
+    sqr = staticmethod(lambda a: mont_sqr(FQ, a))
+    is_zero = staticmethod(lambda a: is_zero(FQ, a))
+    eq = staticmethod(lambda a, b: eq(FQ, a, b))
+
+    @staticmethod
+    def select(cond, a, b):
+        return select(cond, a, b)
+
+    @staticmethod
+    def zeros(batch_shape):
+        return jnp.zeros(batch_shape + (NLIMBS,), u32)
+
+    @staticmethod
+    def one(batch_shape):
+        return jnp.broadcast_to(jnp.asarray(FQ.one_mont, u32), batch_shape + (NLIMBS,))
+
+    # host packing for points
+    @staticmethod
+    def pack(vals) -> np.ndarray:
+        return FQ.pack(vals)
+
+    @staticmethod
+    def unpack(arr):
+        return FQ.unpack(arr)
+
+
+class Fq2Ops:
+    """Fq2 ops namespace: elements are (..., 2, 16) uint32."""
+
+    ndim = 2
+    spec = FQ
+
+    add = staticmethod(fq2_add)
+    sub = staticmethod(fq2_sub)
+    neg = staticmethod(fq2_neg)
+    mul = staticmethod(fq2_mul)
+    sqr = staticmethod(fq2_sqr)
+    is_zero = staticmethod(fq2_is_zero)
+    eq = staticmethod(fq2_eq)
+
+    @staticmethod
+    def select(cond, a, b):
+        extra = a.ndim - cond.ndim
+        return jnp.where(cond.reshape(cond.shape + (1,) * extra), a, b)
+
+    @staticmethod
+    def zeros(batch_shape):
+        return jnp.zeros(batch_shape + (2, NLIMBS), u32)
+
+    @staticmethod
+    def one(batch_shape):
+        one = np.zeros((2, NLIMBS), np.uint32)
+        one[0] = FQ.one_mont
+        return jnp.broadcast_to(jnp.asarray(one), batch_shape + (2, NLIMBS))
+
+    @staticmethod
+    def pack(vals) -> np.ndarray:
+        """vals: list of host Fq2 -> (n, 2, 16) uint32 (Montgomery)."""
+        out = np.empty((len(vals), 2, NLIMBS), dtype=np.uint32)
+        for i, v in enumerate(vals):
+            out[i, 0] = to_limbs(FQ.to_mont(v.c0))
+            out[i, 1] = to_limbs(FQ.to_mont(v.c1))
+        return out
+
+    @staticmethod
+    def unpack(arr):
+        from .host import Fq2 as HostFq2
+
+        arr = np.asarray(arr).reshape(-1, 2, NLIMBS)
+        return [
+            HostFq2(FQ.from_mont(from_limbs(row[0])), FQ.from_mont(from_limbs(row[1])))
+            for row in arr
+        ]
+
+
+# Fr ops (scalar field) — used by the NTT and witness algebra.
+class FrOps:
+    ndim = 1
+    spec = FR
+
+    add = staticmethod(lambda a, b: add(FR, a, b))
+    sub = staticmethod(lambda a, b: sub(FR, a, b))
+    neg = staticmethod(lambda a: neg(FR, a))
+    mul = staticmethod(lambda a, b: mont_mul(FR, a, b))
+    sqr = staticmethod(lambda a: mont_sqr(FR, a))
+    is_zero = staticmethod(lambda a: is_zero(FR, a))
+    eq = staticmethod(lambda a, b: eq(FR, a, b))
+    select = staticmethod(select)
+
+    @staticmethod
+    def zeros(batch_shape):
+        return jnp.zeros(batch_shape + (NLIMBS,), u32)
+
+    @staticmethod
+    def one(batch_shape):
+        return jnp.broadcast_to(jnp.asarray(FR.one_mont, u32), batch_shape + (NLIMBS,))
+
+    @staticmethod
+    def pack(vals) -> np.ndarray:
+        return FR.pack(vals)
+
+    @staticmethod
+    def unpack(arr):
+        return FR.unpack(arr)
