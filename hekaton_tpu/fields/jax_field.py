@@ -94,47 +94,103 @@ FR = FieldSpec(R, "fr")
 # ---------------------------------------------------------------------------
 
 
-def _carry_canon(acc, nout):
-    """Carry-propagate column sums (< 2^21 each) into canonical 16-bit limbs."""
+_POW2_16 = (np.uint32(1) << np.arange(16, dtype=np.uint32)).astype(np.uint32)
+
+
+def _lookahead_chunk(g, p, carry_in):
+    """Resolve a <=16-limb carry/borrow chain c_{k+1} = g_k | (p_k & c_k).
+
+    The generate/propagate bits are packed into one u32 per element and the
+    whole chain is solved with the classic adder identity
+    carries = (A+B) ^ A ^ B where A = G|P, B = G — O(1) ops instead of a
+    sequential 16-step loop. Returns (carries (..., W), carry_out (...,)).
+    """
+    W = g.shape[-1]
+    pw = jnp.asarray(_POW2_16[:W])
+    G = jnp.sum(g * pw, axis=-1, dtype=u32)
+    Pp = jnp.sum(p * pw, axis=-1, dtype=u32)
+    # seed the incoming carry: it enters limb 0's recurrence like a generate
+    # at a virtual limb: equivalently add it to the packed sum at bit 0.
+    A = G | Pp
+    S = A + G + carry_in
+    C = S ^ A ^ G  # bit k = carry INTO limb k (bit 0 reflects carry_in)
+    c = (C[..., None] >> jnp.arange(W, dtype=u32)) & 1
+    carry_out = (S >> W) & 1
+    return c, carry_out
+
+
+def _canon(cols):
+    """Exact canonicalization of limb columns (values < 2^21) to 16-bit limbs.
+
+    Drops any overflow beyond the given width — callers guarantee the true
+    value fits (all uses are bounded: products < 2^512 in 32 limbs, modular
+    sums < 2^256 in 16 limbs).
+    """
+    W = cols.shape[-1]
+    v = cols & MASK
+    h = cols >> LIMB_BITS  # < 2^5
+    shifted = jnp.concatenate([jnp.zeros_like(h[..., :1]), h[..., :-1]], axis=-1)
+    v2 = v + shifted  # <= 2^16 + 30: generate/propagate disjoint
+    g = v2 >> LIMB_BITS
+    r = v2 & MASK
+    p = (r == MASK).astype(u32)
     outs = []
-    c = jnp.zeros(acc.shape[:-1], u32)
-    for k in range(acc.shape[-1]):
-        v = acc[..., k] + c
-        outs.append(v & MASK)
-        c = v >> LIMB_BITS
-    while len(outs) < nout:
-        outs.append(c & MASK)
-        c = c >> LIMB_BITS
-    return jnp.stack(outs[:nout], axis=-1)
+    carry = jnp.zeros(v2.shape[:-1], u32)
+    for s in range(0, W, 16):
+        e = min(s + 16, W)
+        c, carry = _lookahead_chunk(g[..., s:e], p[..., s:e], carry)
+        outs.append((r[..., s:e] + c) & MASK)
+    return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+
+
+# Constant gather indices mapping partial-product diagonals to columns.
+def _diag_index(ncols, shift):
+    idx = np.zeros((NLIMBS, ncols), dtype=np.int32)
+    for i in range(NLIMBS):
+        for k in range(ncols):
+            j = k - i - shift
+            idx[i, k] = j if 0 <= j < NLIMBS else NLIMBS  # NLIMBS -> zero pad slot
+    return idx
+
+
+_IDX_LO_32 = _diag_index(32, 0)
+_IDX_HI_32 = _diag_index(32, 1)
+_IDX_LO_16 = _diag_index(16, 0)
+_IDX_HI_16 = _diag_index(16, 1)
+
+
+def _mul_columns(a, b, idx_lo, idx_hi):
+    """Column sums of the schoolbook product via constant-index gathers."""
+    prod = a[..., :, None] * b[..., None, :]  # (..., 16, 16) u32, exact
+    lo = prod & MASK
+    hi = prod >> LIMB_BITS
+    zpad = jnp.zeros_like(lo[..., :1])
+    lo = jnp.concatenate([lo, zpad], axis=-1)  # (..., 16, 17)
+    hi = jnp.concatenate([hi, zpad], axis=-1)
+    ncols = idx_lo.shape[-1]
+    ilo = jnp.broadcast_to(jnp.asarray(idx_lo), lo.shape[:-1] + (ncols,))
+    ihi = jnp.broadcast_to(jnp.asarray(idx_hi), hi.shape[:-1] + (ncols,))
+    cols = jnp.sum(jnp.take_along_axis(lo, ilo, axis=-1), axis=-2, dtype=u32)
+    cols = cols + jnp.sum(jnp.take_along_axis(hi, ihi, axis=-1), axis=-2, dtype=u32)
+    return cols  # values <= 32 * (2^16 - 1) < 2^21
 
 
 def _mul_wide(a, b_limbs):
-    """Full 256x256 -> 512-bit product as (..., 32) canonical 16-bit limbs.
-
-    `b_limbs` may be a constant (16,) array (e.g. the modulus).
-    """
-    shape = jnp.broadcast_shapes(a.shape[:-1], jnp.shape(b_limbs)[:-1])
-    acc = jnp.zeros(shape + (33,), u32)
-    b = jnp.broadcast_to(b_limbs, shape + (NLIMBS,)) if jnp.ndim(b_limbs) == 1 else b_limbs
-    for i in range(NLIMBS):
-        p = a[..., i : i + 1] * b  # (..., 16) u32, exact
-        acc = acc.at[..., i : i + NLIMBS].add(p & MASK)
-        acc = acc.at[..., i + 1 : i + 1 + NLIMBS].add(p >> LIMB_BITS)
-    return _carry_canon(acc, 32)
+    """Full 256x256 -> 512-bit product as (..., 32) canonical 16-bit limbs."""
+    b = jnp.asarray(b_limbs, u32)
+    if b.ndim == 1:
+        b = jnp.broadcast_to(b, a.shape)
+    a, b = jnp.broadcast_arrays(a, b)
+    return _canon(_mul_columns(a, b, _IDX_LO_32, _IDX_HI_32))
 
 
 def _mul_low(a, b_limbs):
     """Low 256 bits of a*b as (..., 16) canonical limbs (mod 2^256)."""
-    shape = a.shape[:-1]
-    acc = jnp.zeros(shape + (NLIMBS,), u32)
     b = jnp.asarray(b_limbs, u32)
-    for i in range(NLIMBS):
-        width = NLIMBS - i
-        p = a[..., i : i + 1] * b[..., :width]
-        acc = acc.at[..., i:].add(p & MASK)
-        if width > 1:
-            acc = acc.at[..., i + 1 :].add((p >> LIMB_BITS)[..., : width - 1])
-    return _carry_canon(acc, NLIMBS)
+    if b.ndim == 1:
+        b = jnp.broadcast_to(b, a.shape)
+    a, b = jnp.broadcast_arrays(a, b)
+    return _canon(_mul_columns(a, b, _IDX_LO_16, _IDX_HI_16))
 
 
 def _add_limbs(a, b):
@@ -142,25 +198,24 @@ def _add_limbs(a, b):
 
     Safe only when the true sum fits the limb count (callers guarantee it).
     """
-    outs = []
-    c = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), u32)
-    for k in range(a.shape[-1]):
-        v = a[..., k] + b[..., k] + c
-        outs.append(v & MASK)
-        c = v >> LIMB_BITS
-    return jnp.stack(outs, axis=-1)
+    a, b = jnp.broadcast_arrays(a, b)
+    return _canon(a + b)
 
 
 def _sub_limbs(a, b):
     """a - b with borrow-out: returns (diff limbs, borrow in {0,1})."""
+    a, b = jnp.broadcast_arrays(a, b)
+    W = a.shape[-1]
+    g = (a < b).astype(u32)
+    p = (a == b).astype(u32)
     outs = []
-    borrow = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), u32)
-    big = np.uint32(1 << LIMB_BITS)
-    for k in range(a.shape[-1]):
-        v = a[..., k] + big - b[..., k] - borrow
-        outs.append(v & MASK)
-        borrow = 1 - (v >> LIMB_BITS)
-    return jnp.stack(outs, axis=-1), borrow
+    borrow = jnp.zeros(a.shape[:-1], u32)
+    for s in range(0, W, 16):
+        e = min(s + 16, W)
+        c, borrow = _lookahead_chunk(g[..., s:e], p[..., s:e], borrow)
+        outs.append((a[..., s:e] - b[..., s:e] - c) & MASK)
+    diff = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+    return diff, borrow
 
 
 def _cond_sub_mod(x, p_limbs):

@@ -1,0 +1,317 @@
+"""Variable-base Pippenger MSM on TPU, plus fixed-base batch scalar-mul.
+
+Replaces arkworks `VariableBaseMSM` / `FixedBase::msm` (the reference's
+hottest kernels — /root/reference/cp-groth16/src/prover.rs:88-129,
+/root/reference/cp-groth16/src/generator.rs:128-196) with an XLA-native design.
+
+Bucket accumulation is the hard part on a vector machine: it is a
+reduce-by-key with a nonlinear (elliptic-curve) combiner. Design used here:
+
+  1. per window, radix-sort point indices by digit (jnp.argsort — cheap
+     relative to curve ops);
+  2. chunked segmented reduction: reshape the sorted stream to (C, K) lanes,
+     fori_loop over the K columns with a batched conditional accumulate —
+     every loop body is traced ONCE, so the HLO stays small while the work
+     stays O(N) curve-adds;
+  3. runs interior to a lane are complete bucket sums (the stream is sorted)
+     and scatter-set directly into the bucket array; the 2 boundary runs per
+     lane are stitched by recursing on a 2C-element sorted stream;
+  4. bucket reduction sum_k k*B_k via a Hillis–Steele suffix scan + chunked
+     tree reduction; windows combined by Horner doubling.
+
+Everything is branchless and static-shape: the same jitted program serves any
+scalar distribution.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.jax_curve import CurveOps, Jac
+from ..fields import jax_field as jf
+from ..fields.bn254 import NLIMBS
+
+u32 = jnp.uint32
+
+
+def _tree_index(tree, i):
+    return jax.tree.map(lambda a: a[i], tree)
+
+
+def _tree_set(tree, idx, val):
+    return jax.tree.map(lambda a, v: a.at[idx].set(v), tree, val)
+
+
+def digits_for_windows(scalars, c: int, nbits: int = 254) -> jnp.ndarray:
+    """(N, 16) u32 plain limbs -> (W, N) u32 window digits, LSB window first."""
+    nwin = (nbits + c - 1) // c
+    outs = []
+    for w in range(nwin):
+        bit = w * c
+        limb, sh = bit // 16, bit % 16
+        val = scalars[:, limb] >> sh
+        if sh + c > 16 and limb + 1 < scalars.shape[1]:
+            val = val | (scalars[:, limb + 1] << (16 - sh))
+        if sh + c > 32 and limb + 2 < scalars.shape[1]:
+            val = val | (scalars[:, limb + 2] << (32 - sh))
+        outs.append(val & np.uint32((1 << c) - 1))
+    return jnp.stack(outs, axis=0)
+
+
+def _segmented_accumulate(curve: CurveOps, digits, vals, buckets, dummy: int, mixed: bool, K: int = 32):
+    """Reduce-by-key of a digit-sorted stream into `buckets` (scatter-set).
+
+    digits: (M,) u32 sorted; vals: affine (ax, ay) if mixed else Jac; buckets:
+    Jac with leading dim nbuckets+2 (slot `dummy+1` is the trash slot).
+    Complete runs are scatter-set; the per-lane boundary runs recurse.
+    """
+    M = digits.shape[0]
+    if M > K and M % K:
+        # pad the stream to a lane multiple with dummy-digit identity elements
+        pad = K - M % K
+        digits = jnp.concatenate([digits, jnp.full((pad,), dummy, u32)])
+        if mixed:
+            ax_p, ay_p = vals
+            vals = (
+                jnp.concatenate([ax_p, jnp.zeros((pad,) + ax_p.shape[1:], u32)]),
+                jnp.concatenate([ay_p, jnp.zeros((pad,) + ay_p.shape[1:], u32)]),
+            )
+        else:
+            vals = jax.tree.map(
+                lambda a, i: jnp.concatenate([a, jnp.broadcast_to(i, (pad,) + a.shape[1:])]),
+                vals,
+                curve.inf(()),
+            )
+        M += pad
+    if M <= K:
+        # single-lane sequential pass; every run here is complete.
+        def body(j, carry):
+            acc, cur, buckets = carry
+            dj = digits[j]
+            boundary = dj != cur
+            idx = jnp.where(boundary, cur, jnp.uint32(dummy + 1))
+            buckets = _tree_set(buckets, idx, acc)
+            acc = curve.select(boundary, curve.inf(()), acc)
+            if mixed:
+                acc = curve.add_mixed(acc, _tree_index(vals[0], j), _tree_index(vals[1], j))
+            else:
+                acc = curve.add(acc, _tree_index(vals, j))
+            return acc, dj, buckets
+
+        acc, cur, buckets = jax.lax.fori_loop(
+            0, M, body, (curve.inf(()), jnp.uint32(dummy), buckets)
+        )
+        return _tree_set(buckets, cur, acc)
+
+    C = M // K  # M is padded to a multiple of K by the caller
+    d_cols = digits.reshape(C, K).T  # (K, C): column-major access in the loop
+    if mixed:
+        ax, ay = vals
+        # reshape to (C, K, ...) then transpose to (K, C, ...)
+        vax = jnp.moveaxis(ax.reshape((C, K) + ax.shape[1:]), 1, 0)
+        vay = jnp.moveaxis(ay.reshape((C, K) + ay.shape[1:]), 1, 0)
+    else:
+        vjac = jax.tree.map(lambda a: jnp.moveaxis(a.reshape((C, K) + a.shape[1:]), 1, 0), vals)
+
+    inf_c = curve.inf((C,))
+
+    def body(j, carry):
+        acc, prefix, prefix_digit, flushed, buckets = carry
+        dj = d_cols[j]
+        dprev = d_cols[jnp.maximum(j - 1, 0)]
+        boundary = jnp.logical_and(j > 0, dj != dprev)
+        first = jnp.logical_and(boundary, jnp.logical_not(flushed))
+        interior = jnp.logical_and(boundary, flushed)
+        # first flush of a lane -> boundary-stitch set
+        prefix = curve.select(first, acc, prefix)
+        prefix_digit = jnp.where(first, dprev, prefix_digit)
+        # subsequent flushes are complete runs -> straight into buckets
+        idx = jnp.where(interior, dprev, jnp.uint32(dummy + 1))
+        buckets = _tree_set(buckets, idx, acc)
+        flushed = jnp.logical_or(flushed, boundary)
+        acc = curve.select(boundary, inf_c, acc)
+        if mixed:
+            acc = curve.add_mixed(acc, vax[j], vay[j])
+        else:
+            acc = curve.add(acc, _tree_index(vjac, j))
+        return acc, prefix, prefix_digit, flushed, buckets
+
+    init = (inf_c, inf_c, jnp.zeros((C,), u32), jnp.zeros((C,), bool), buckets)
+    acc, prefix, prefix_digit, flushed, buckets = jax.lax.fori_loop(0, K, body, init)
+
+    suffix_digit = d_cols[K - 1]
+    # lanes that never flushed contribute an identity prefix at the suffix digit
+    prefix_digit = jnp.where(flushed, prefix_digit, suffix_digit)
+    prefix = curve.select(flushed, prefix, inf_c)
+
+    # interleave (prefix_i, suffix_i): still sorted by digit
+    e_digits = jnp.stack([prefix_digit, suffix_digit], axis=1).reshape(2 * C)
+    e_vals = jax.tree.map(
+        lambda p, s: jnp.stack([p, s], axis=1).reshape((2 * C,) + p.shape[1:]), prefix, acc
+    )
+    return _segmented_accumulate(curve, e_digits, e_vals, buckets, dummy, mixed=False, K=K)
+
+
+def _tree_reduce(curve: CurveOps, pts: Jac, K: int = 64) -> Jac:
+    """Sum of a (M,) Jac array -> scalar Jac, chunked fori reduction."""
+    M = pts.x.shape[0]
+    while M > 1:
+        pad = (-M) % K if M > K else 0
+        if pad:
+            pts = jax.tree.map(
+                lambda a, i: jnp.concatenate([a, jnp.broadcast_to(i, (pad,) + a.shape[1:])]),
+                pts,
+                curve.inf(()),
+            )
+            M += pad
+        if M <= K:
+            def body(j, acc):
+                return curve.add(acc, _tree_index(pts, j))
+
+            return jax.lax.fori_loop(0, M, body, curve.inf(()))
+        C = M // K
+        cols = jax.tree.map(lambda a: jnp.moveaxis(a.reshape((C, K) + a.shape[1:]), 1, 0), pts)
+
+        def body(j, acc):
+            return curve.add(acc, _tree_index(cols, j))
+
+        pts = jax.lax.fori_loop(0, K, body, curve.inf((C,)))
+        M = C
+    return _tree_index(pts, 0)
+
+
+def _weighted_bucket_sum(curve: CurveOps, buckets: Jac, nbuckets: int) -> Jac:
+    """sum_{k=1}^{nb-1} k * B_k via suffix scan then reduction."""
+    # drop bucket 0 and the trash slots; operate on B_1..B_{nb-1}
+    b = jax.tree.map(lambda a: a[1:nbuckets], buckets)
+    m = nbuckets - 1
+    steps = max(1, math.ceil(math.log2(m)))
+    idx = jnp.arange(m)
+
+    def body(i, b):
+        d = jnp.uint32(1) << i
+        shifted = jax.tree.map(lambda a: jnp.roll(a, -d.astype(jnp.int32), axis=0), b)
+        valid = idx + d < m
+        combined = curve.add(b, Jac(*shifted))
+        return curve.select(valid, combined, b)
+
+    b = jax.lax.fori_loop(0, steps, body, b)
+    return _tree_reduce(curve, b)
+
+
+def msm(curve: CurveOps, ax, ay, scalars, c: int | None = None, K: int = 32) -> Jac:
+    """Variable-base MSM: sum_i scalars[i] * P_i.
+
+    ax, ay: (N, ...) affine coordinate arrays ((0,0) = infinity);
+    scalars: (N, 16) u32 plain (non-Montgomery) limbs. Returns a Jac scalar.
+    """
+    N = ax.shape[0]
+    if c is None:
+        c = max(2, min(13, int(math.log2(max(N, 2))) - 3))
+    nbuckets = 1 << c
+    digits = digits_for_windows(scalars, c)  # (W, N)
+    W = digits.shape[0]
+
+    def window_body(_, digs):
+        order = jnp.argsort(digs)
+        sd = digs[order]
+        sx = ax[order]
+        sy = ay[order]
+        buckets = curve.inf((nbuckets + 2,))
+        buckets = _segmented_accumulate(curve, sd, (sx, sy), buckets, nbuckets, mixed=True, K=K)
+        s = _weighted_bucket_sum(curve, buckets, nbuckets)
+        return None, s
+
+    _, window_sums = jax.lax.scan(window_body, None, digits)
+
+    # Horner combine from the top window down
+    def horner(i, acc):
+        def dbl_body(_, a):
+            return curve.dbl(a)
+
+        acc = jax.lax.fori_loop(0, c, dbl_body, acc)
+        return curve.add(acc, _tree_index(window_sums, W - 2 - i))
+
+    acc = _tree_index(window_sums, W - 1)
+    return jax.lax.fori_loop(0, W - 1, horner, acc)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base batch scalar multiplication (CRS generation)
+# ---------------------------------------------------------------------------
+
+FB_WINDOW = 8  # table windows of 8 bits: 32 windows x 256 entries
+
+
+def fixed_base_table_host(base_host, curve: CurveOps):
+    """Host-precomputed table T[j][b] = b * 2^(8j) * base, packed for device."""
+    from ..curves.host import pt_add, pt_dbl
+
+    windows = (254 + FB_WINDOW - 1) // FB_WINDOW
+    tbl = []
+    cur = base_host
+    for _ in range(windows):
+        row = [None]
+        acc = None
+        for _ in range(255):
+            acc = pt_add(acc, cur)
+            row.append(acc)
+        tbl.append(row)
+        for _ in range(FB_WINDOW):
+            cur = pt_dbl(cur)
+    ax_rows, ay_rows = [], []
+    for row in tbl:
+        x, y = curve.pack_affine(row)
+        ax_rows.append(x)
+        ay_rows.append(y)
+    return np.stack(ax_rows), np.stack(ay_rows)  # (32, 256, ...)
+
+
+def fixed_base_msm(curve: CurveOps, table, scalars) -> Jac:
+    """out[i] = scalars[i] * base, for all i, using a precomputed table.
+
+    table: (tx, ty) of shape (32, 256, ...); scalars: (N, 16) u32 plain limbs.
+    Returns a (N,)-batched Jac.
+    """
+    tx, ty = table
+    windows = tx.shape[0]
+    digits = digits_for_windows(scalars, FB_WINDOW)  # (32, N)
+    N = scalars.shape[0]
+
+    def body(j, acc):
+        d = digits[j]
+        return curve.add_mixed(acc, tx[j][d], ty[j][d])
+
+    return jax.lax.fori_loop(0, windows, body, curve.inf((N,)))
+
+
+def to_affine_device(curve: CurveOps, p: Jac):
+    """Batched Jacobian -> affine on device (Fermat inversion); inf -> (0,0)."""
+    f = curve.f
+    if f.ndim == 1:
+        zinv = jf.mont_inv(jf.FQ, p.z)
+    else:
+        # Fq2 inversion: conj / norm
+        n = jf.add(jf.FQ, jf.mont_sqr(jf.FQ, p.z[..., 0, :]), jf.mont_sqr(jf.FQ, p.z[..., 1, :]))
+        ninv = jf.mont_inv(jf.FQ, n)
+        zinv = jnp.stack(
+            [jf.mont_mul(jf.FQ, p.z[..., 0, :], ninv), jf.mont_mul(jf.FQ, jf.neg(jf.FQ, p.z[..., 1, :]), ninv)],
+            axis=-2,
+        )
+    zi2 = f.sqr(zinv)
+    ax = f.mul(p.x, zi2)
+    ay = f.mul(p.y, f.mul(zi2, zinv))
+    is_inf = curve.is_inf(p)
+    batch = ax.shape[: ax.ndim - f.ndim]
+    ax = f.select(is_inf, f.zeros(batch), ax)
+    ay = f.select(is_inf, f.zeros(batch), ay)
+    return ax, ay
+
+
+def pack_scalars(vals) -> np.ndarray:
+    """Host ints -> (N, 16) u32 plain limb array for digit extraction."""
+    return jf.FR.pack(vals, mont=False)
