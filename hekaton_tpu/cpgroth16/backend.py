@@ -1,0 +1,189 @@
+"""Compute backends for CP-Groth16: host (Python ints) and TPU (JAX kernels).
+
+The protocol layer is backend-agnostic: MSMs, fixed-base scalar-muls, and the
+QAP witness map route through a Backend. HostBackend is the small-circuit
+ground truth; TpuBackend runs the Pippenger/fixed-base/NTT kernels (the
+reference's hot loops — /root/reference/cp-groth16/src/prover.rs:88-129,
+generator.rs:128-196 — moved onto the MXU/VPU).
+"""
+from __future__ import annotations
+
+import functools
+
+from ..curves import host as ch
+from ..curves.jax_curve import G1, G2
+from ..fields.bn254 import R
+from ..fields.host import fr_inv
+from ..ntt.ntt import COSET_GEN, root_of_unity
+from .data_structures import PointVec
+
+
+def _host_ntt(vals: list, invert: bool = False) -> list:
+    """Iterative radix-2 NTT over Fr with Python ints (host ground truth)."""
+    n = len(vals)
+    assert n & (n - 1) == 0
+    om = root_of_unity(n)
+    if invert:
+        om = fr_inv(om)
+    a = list(vals)
+    # bit-reverse
+    j = 0
+    for i in range(1, n):
+        bit = n >> 1
+        while j & bit:
+            j ^= bit
+            bit >>= 1
+        j |= bit
+        if i < j:
+            a[i], a[j] = a[j], a[i]
+    length = 2
+    while length <= n:
+        wlen = pow(om, n // length, R)
+        for i in range(0, n, length):
+            w = 1
+            for k in range(i, i + length // 2):
+                u, v = a[k], a[k + length // 2] * w % R
+                a[k] = (u + v) % R
+                a[k + length // 2] = (u - v) % R
+                w = w * wlen % R
+        length <<= 1
+    if invert:
+        ninv = fr_inv(n)
+        a = [x * ninv % R for x in a]
+    return a
+
+
+def witness_map_host(a_evals: list, b_evals: list, c_evals: list) -> list:
+    """h coefficients of (A*B - C)/Z over the coset, host ints."""
+    m = len(a_evals)
+    g = COSET_GEN
+    gpows = [1] * m
+    for i in range(1, m):
+        gpows[i] = gpows[i - 1] * g % R
+
+    def coset_evals(evals):
+        coeffs = _host_ntt(evals, invert=True)
+        return _host_ntt([c * gp % R for c, gp in zip(coeffs, gpows)])
+
+    ca, cb, cc = coset_evals(a_evals), coset_evals(b_evals), coset_evals(c_evals)
+    zinv = fr_inv((pow(g, m, R) - 1) % R)
+    q = [(x * y - z) * zinv % R for x, y, z in zip(ca, cb, cc)]
+    hc = _host_ntt(q, invert=True)
+    ginv = fr_inv(g)
+    gipows = [1] * m
+    for i in range(1, m):
+        gipows[i] = gipows[i - 1] * ginv % R
+    h = [c * gp % R for c, gp in zip(hc, gipows)]
+    return h[: m - 1]
+
+
+class HostBackend:
+    name = "host"
+
+    def msm(self, vec: PointVec, scalars: list) -> object:
+        return ch.msm_host(vec.points[: len(scalars)], scalars)
+
+    def fixed_base(self, base, scalars: list, g2: bool = False) -> list:
+        return [ch.pt_mul(base, s) for s in scalars]
+
+    def witness_map(self, a_evals, b_evals, c_evals) -> list:
+        return witness_map_host(a_evals, b_evals, c_evals)
+
+
+class TpuBackend:
+    name = "tpu"
+
+    def __init__(self):
+        self._fb_tables = {}
+
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _msm_fn(curve_name: str):
+        import jax
+
+        from ..msm.pippenger import msm
+
+        curve = G1 if curve_name == "g1" else G2
+        return jax.jit(functools.partial(msm, curve))
+
+    def msm(self, vec: PointVec, scalars: list) -> object:
+        import jax
+
+        from ..msm.pippenger import pack_scalars
+
+        curve = vec.curve
+        ax, ay = vec.device_affine()
+        n = len(scalars)
+        ax, ay = ax[:n], ay[:n]
+        sc = pack_scalars(scalars)
+        out = self._msm_fn(curve.name)(ax, ay, sc)
+        return curve.unpack_jacobian(jax.tree.map(lambda a: a[None], out))[0]
+
+    def fixed_base(self, base, scalars: list, g2: bool = False) -> list:
+        import jax
+        import jax.numpy as jnp
+
+        from ..msm.pippenger import fixed_base_msm, fixed_base_table_host, pack_scalars, to_affine_device
+
+        curve = G2 if g2 else G1
+        key = (curve.name, base if not g2 else (base[0], base[1]))
+        if key not in self._fb_tables:
+            tx, ty = fixed_base_table_host(base, curve)
+            self._fb_tables[key] = (jnp.asarray(tx), jnp.asarray(ty))
+        table = self._fb_tables[key]
+        sc = jnp.asarray(pack_scalars(scalars))
+        fn = self._fb_fn(curve.name)
+        ax, ay = fn(table, sc)
+        return curve.unpack_affine(ax, ay)
+
+    @staticmethod
+    @functools.lru_cache(maxsize=None)
+    def _fb_fn(curve_name: str):
+        import jax
+
+        from ..msm.pippenger import fixed_base_msm, to_affine_device
+
+        curve = G1 if curve_name == "g1" else G2
+
+        def run(table, sc):
+            return to_affine_device(curve, fixed_base_msm(curve, table, sc))
+
+        return jax.jit(run)
+
+    def witness_map(self, a_evals, b_evals, c_evals) -> list:
+        import jax
+        import jax.numpy as jnp
+
+        from ..fields import jax_field as jf
+        from ..ntt import ntt as nttm
+
+        m = len(a_evals)
+
+        @functools.lru_cache(maxsize=None)
+        def _wm_fn(mm):
+            def run(a, b, c):
+                ca = nttm.coset_ntt(nttm.ntt(a, inverse=True))
+                cb = nttm.coset_ntt(nttm.ntt(b, inverse=True))
+                cc = nttm.coset_ntt(nttm.ntt(c, inverse=True))
+                zinv = jf.FR.pack([fr_inv((pow(COSET_GEN, mm, R) - 1) % R)])[0]
+                q = jf.mont_mul(
+                    jf.FR,
+                    jf.sub(jf.FR, jf.mont_mul(jf.FR, ca, cb), cc),
+                    jnp.asarray(zinv),
+                )
+                return nttm.coset_intt(q)
+
+            return jax.jit(run)
+
+        if not hasattr(self, "_wm_cache"):
+            self._wm_cache = {}
+        if m not in self._wm_cache:
+            self._wm_cache[m] = _wm_fn(m)
+        a = jnp.asarray(jf.FR.pack(a_evals))
+        b = jnp.asarray(jf.FR.pack(b_evals))
+        c = jnp.asarray(jf.FR.pack(c_evals))
+        h = self._wm_cache[m](a, b, c)
+        return jf.FR.unpack(h)[: m - 1]
+
+
+DEFAULT_BACKEND = HostBackend()
