@@ -80,11 +80,39 @@ def witness_map_host(a_evals: list, b_evals: list, c_evals: list) -> list:
 class HostBackend:
     name = "host"
 
+    def __init__(self):
+        self._tables = {}
+
     def msm(self, vec: PointVec, scalars: list) -> object:
         return ch.msm_host(vec.points[: len(scalars)], scalars)
 
     def fixed_base(self, base, scalars: list, g2: bool = False) -> list:
-        return [ch.pt_mul(base, s) for s in scalars]
+        """Windowed-table batch scalar-mul (8-bit windows, Jacobian)."""
+        key = base if not g2 else (base[0], base[1])
+        if key not in self._tables:
+            tbl = []
+            cur = base
+            for _ in range(32):
+                row = [None]
+                acc = None
+                for _ in range(255):
+                    acc = ch._jac_add(acc, (cur[0], cur[1], 1 if not g2 else type(cur[0]).one()))
+                    row.append(acc)
+                tbl.append(row)
+                for _ in range(8):
+                    cur = ch.pt_dbl(cur)
+            self._tables[key] = tbl
+        tbl = self._tables[key]
+        out = []
+        for s in scalars:
+            s %= ch.R
+            acc = None
+            for j in range(32):
+                d = (s >> (8 * j)) & 0xFF
+                if d:
+                    acc = ch._jac_add(acc, tbl[j][d])
+            out.append(ch._jac_to_affine(acc))
+        return out
 
     def witness_map(self, a_evals, b_evals, c_evals) -> list:
         return witness_map_host(a_evals, b_evals, c_evals)
@@ -106,17 +134,32 @@ class TpuBackend:
         curve = G1 if curve_name == "g1" else G2
         return jax.jit(functools.partial(msm, curve))
 
+    @staticmethod
+    def _next_pow2(n: int) -> int:
+        p = 1
+        while p < n:
+            p <<= 1
+        return p
+
     def msm(self, vec: PointVec, scalars: list) -> object:
+        """Pads to the next power of two so jit specializations stay few."""
         import jax
+        import jax.numpy as jnp
 
         from ..msm.pippenger import pack_scalars
 
         curve = vec.curve
         ax, ay = vec.device_affine()
         n = len(scalars)
-        ax, ay = ax[:n], ay[:n]
-        sc = pack_scalars(scalars)
-        out = self._msm_fn(curve.name)(ax, ay, sc)
+        m = self._next_pow2(max(n, 4))
+        sc = pack_scalars(list(scalars) + [0] * (m - n))
+        if ax.shape[0] < m:
+            pad = m - ax.shape[0]
+            ax = jnp.concatenate([ax, jnp.zeros((pad,) + ax.shape[1:], ax.dtype)])
+            ay = jnp.concatenate([ay, jnp.zeros((pad,) + ay.shape[1:], ay.dtype)])
+        else:
+            ax, ay = ax[:m], ay[:m]
+        out = self._msm_fn(curve.name)(ax, ay, jnp.asarray(sc))
         return curve.unpack_jacobian(jax.tree.map(lambda a: a[None], out))[0]
 
     def fixed_base(self, base, scalars: list, g2: bool = False) -> list:
@@ -131,10 +174,12 @@ class TpuBackend:
             tx, ty = fixed_base_table_host(base, curve)
             self._fb_tables[key] = (jnp.asarray(tx), jnp.asarray(ty))
         table = self._fb_tables[key]
-        sc = jnp.asarray(pack_scalars(scalars))
+        n = len(scalars)
+        m = self._next_pow2(max(n, 4))
+        sc = jnp.asarray(pack_scalars(list(scalars) + [0] * (m - n)))
         fn = self._fb_fn(curve.name)
         ax, ay = fn(table, sc)
-        return curve.unpack_affine(ax, ay)
+        return curve.unpack_affine(ax, ay)[:n]
 
     @staticmethod
     @functools.lru_cache(maxsize=None)

@@ -62,7 +62,7 @@ def generate_parameters(
     g1_gen = ch.pt_mul(ch.g1_gen(), rng.next_nonzero_fr())
     g2_gen = ch.pt_mul(ch.g2_gen(), rng.next_nonzero_fr())
 
-    cs = ConstraintSystem()
+    cs = ConstraintSystem(setup_mode=True)
     circuit.synthesize_all(cs)
 
     ni = cs.num_instance

@@ -73,26 +73,126 @@ def pt_sub(p, q):
     return pt_add(p, pt_neg(q))
 
 
+def _jac_dbl(p):
+    x, y, z = p
+    a = _norm(x * x)
+    b = _norm(y * y)
+    c = _norm(b * b)
+    t = x + b
+    d = _norm(2 * (_norm(t * t) - a - c))
+    e = _norm(3 * a)
+    f = _norm(e * e)
+    x3 = _norm(f - 2 * d)
+    y3 = _norm(e * (d - x3) - 8 * c)
+    z3 = _norm(2 * y * z)
+    return (x3, y3, z3)
+
+
+def _jac_add_mixed(p, qa):
+    """Jacobian + affine; returns Jacobian. q must not be infinity."""
+    x1, y1, z1 = p
+    x2, y2 = qa
+    z1z1 = _norm(z1 * z1)
+    u2 = _norm(x2 * z1z1)
+    s2 = _norm(y2 * z1 * z1z1)
+    h = _norm(u2 - x1)
+    r = _norm(s2 - y1)
+    if _is_zero(h):
+        if _is_zero(r):
+            return _jac_dbl(p)
+        return None
+    hh = _norm(h * h)
+    i = _norm(4 * hh)
+    j = _norm(h * i)
+    r2 = _norm(2 * r)
+    v = _norm(x1 * i)
+    x3 = _norm(r2 * r2 - j - 2 * v)
+    y3 = _norm(r2 * (v - x3) - 2 * y1 * j)
+    z3 = _norm((z1 + h) * (z1 + h) - z1z1 - hh)
+    return (x3, y3, z3)
+
+
+def _jac_to_affine(p):
+    if p is None:
+        return None
+    x, y, z = p
+    if _is_zero(z):
+        return None
+    zi = _inv(z)
+    zi2 = _norm(zi * zi)
+    return (_norm(x * zi2), _norm(y * zi2 * zi))
+
+
+def _jac_add(p, q):
+    """Full Jacobian + Jacobian addition (None = infinity)."""
+    if p is None:
+        return q
+    if q is None:
+        return p
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    z1z1 = _norm(z1 * z1)
+    z2z2 = _norm(z2 * z2)
+    u1 = _norm(x1 * z2z2)
+    u2 = _norm(x2 * z1z1)
+    s1 = _norm(y1 * z2 * z2z2)
+    s2 = _norm(y2 * z1 * z1z1)
+    h = _norm(u2 - u1)
+    r = _norm(s2 - s1)
+    if _is_zero(h):
+        if _is_zero(r):
+            return _jac_dbl(p)
+        return None
+    i = _norm(4 * h * h)
+    j = _norm(h * i)
+    r2 = _norm(2 * r)
+    v = _norm(u1 * i)
+    x3 = _norm(r2 * r2 - j - 2 * v)
+    y3 = _norm(r2 * (v - x3) - 2 * s1 * j)
+    zs = z1 + z2
+    z3 = _norm((_norm(zs * zs) - z1z1 - z2z2) * h)
+    return (x3, y3, z3)
+
+
 def pt_mul(pt, k: int):
+    """Scalar multiplication (Jacobian ladder, one final inversion)."""
     k %= R
     if k == 0 or pt is None:
         return None
+    one = 1 if isinstance(pt[0], int) else Fq2.one()
     acc = None
-    add = pt
+    add = (pt[0], pt[1], one)
     while k:
         if k & 1:
-            acc = pt_add(acc, add)
-        add = pt_dbl(add)
+            acc = _jac_add(acc, add)
+        if k > 1:
+            add = _jac_dbl(add)
+        k >>= 1
+    return _jac_to_affine(acc)
+
+
+def _jac_mul(pt, k: int):
+    k %= R
+    if k == 0 or pt is None:
+        return None
+    one = 1 if isinstance(pt[0], int) else Fq2.one()
+    acc = None
+    add = (pt[0], pt[1], one)
+    while k:
+        if k & 1:
+            acc = _jac_add(acc, add)
+        if k > 1:
+            add = _jac_dbl(add)
         k >>= 1
     return acc
 
 
 def msm_host(points, scalars):
-    """Naive host MSM — reference result for small tests only."""
+    """Host MSM (Jacobian accumulation) — ground truth for tests/small work."""
     acc = None
     for p, s in zip(points, scalars):
-        acc = pt_add(acc, pt_mul(p, s))
-    return acc
+        acc = _jac_add(acc, _jac_mul(p, s))
+    return _jac_to_affine(acc)
 
 
 def g1_is_on_curve(pt) -> bool:

@@ -179,3 +179,72 @@ def sha256_compress_native(state: list, block_words: list) -> list:
 
 
 SHA256_H0 = list(_H0)
+
+
+# ---------------------------------------------------------------------------
+# Byte-level interface (ark UInt8-style: bytes as LSB-first Boolean vectors)
+# ---------------------------------------------------------------------------
+
+
+def witness_bytes(cs: ConstraintSystem, data: bytes) -> list:
+    return [[Boolean.witness(cs, (byte >> i) & 1) for i in range(8)] for byte in data]
+
+
+def constant_bytes(cs: ConstraintSystem, data: bytes) -> list:
+    return [[Boolean.constant(cs, (byte >> i) & 1) for i in range(8)] for byte in data]
+
+
+def _bytes_to_words_be(byte_vars: list) -> list:
+    """4 bytes (big-endian) -> one UInt32 per group."""
+    assert len(byte_vars) % 4 == 0
+    words = []
+    for i in range(0, len(byte_vars), 4):
+        b0, b1, b2, b3 = byte_vars[i : i + 4]
+        bits = list(b3) + list(b2) + list(b1) + list(b0)  # LSB-first word bits
+        words.append(UInt32(bits))
+    return words
+
+
+def _words_to_bytes_be(words: list) -> list:
+    out = []
+    for w in words:
+        out.extend([w.bits[24:32], w.bits[16:24], w.bits[8:16], w.bits[0:8]])
+    return out
+
+
+def sha256_digest_var(cs: ConstraintSystem, msg_bytes: list) -> list:
+    """Full SHA-256 (with padding) over byte variables; returns 32 byte vars."""
+    n = len(msg_bytes)
+    padded = list(msg_bytes)
+    padded.extend(constant_bytes(cs, b"\x80"))
+    while (len(padded) % 64) != 56:
+        padded.extend(constant_bytes(cs, b"\x00"))
+    padded.extend(constant_bytes(cs, struct.pack(">Q", n * 8)))
+    state = initial_state_var(cs)
+    for i in range(0, len(padded), 64):
+        block = _bytes_to_words_be(padded[i : i + 64])
+        state = sha256_compress_var(cs, state, block)
+    return _words_to_bytes_be(state)
+
+
+def digest_bytes_to_fpvar(byte_vars: list, truncate: int = 27) -> FpVar:
+    """Truncate to `truncate` bytes and interpret the LE bitstring as Fr
+    (vkd/util.rs:19-28)."""
+    cs = byte_vars[0][0].var.cs
+    acc = FpVar.constant(cs, 0)
+    pos = 0
+    for byte in byte_vars[:truncate]:
+        for bit in byte:
+            acc = acc + bit.var.scale(1 << pos)
+            pos += 1
+    return acc
+
+
+def fpvar_to_digest_bytes(f: FpVar, truncate: int = 27) -> list:
+    """Decompose into truncate*8 bits -> byte vars (vkd/util.rs:30-39)."""
+    bits = f.to_bits_le(truncate * 8)
+    return [bits[i : i + 8] for i in range(0, truncate * 8, 8)]
+
+
+def digest_to_int(digest: bytes, truncate: int = 27) -> int:
+    return int.from_bytes(digest[:truncate], "little")

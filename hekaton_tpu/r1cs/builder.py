@@ -27,7 +27,10 @@ ONE = var_instance(0)
 
 
 class ConstraintSystem:
-    def __init__(self):
+    def __init__(self, setup_mode: bool = False):
+        # setup_mode mirrors ark-relations SynthesisMode::Setup: placeholder
+        # values are allowed, so witness-consistency assertions are skipped.
+        self.setup_mode = setup_mode
         self.instance_assignment = [1]
         self.witness_assignment = []
         self.a_rows: list = []

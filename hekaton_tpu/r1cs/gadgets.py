@@ -89,13 +89,13 @@ class FpVar:
         other = self._coerce(other)
         diff = self - other
         self.cs.enforce(diff.lc, {ONE: 1}, {})
-        assert diff.value == 0, "enforce_equal on unequal values (witness bug)"
+        assert self.cs.setup_mode or diff.value == 0, "enforce_equal on unequal values (witness bug)"
 
     def conditional_enforce_equal(self, other, cond: "Boolean"):
         other = self._coerce(other)
         diff = self - other
         self.cs.enforce(diff.lc, cond.var.lc, {})
-        assert diff.value == 0 or cond.value == 0
+        assert self.cs.setup_mode or diff.value == 0 or cond.value == 0
 
     def is_zero(self) -> "Boolean":
         """Allocates b = (self == 0) with the standard 2-constraint gadget."""
@@ -114,8 +114,8 @@ class FpVar:
         return (self - self._coerce(other)).is_zero()
 
     def inverse(self) -> "FpVar":
-        assert self.value != 0
-        inv = FpVar.witness(self.cs, pow(self.value, R - 2, R))
+        assert self.cs.setup_mode or self.value != 0
+        inv = FpVar.witness(self.cs, pow(self.value, R - 2, R) if self.value else 0)
         self.cs.enforce(self.lc, inv.lc, {ONE: 1})
         return inv
 
@@ -127,7 +127,7 @@ class FpVar:
         use this for bounded quantities (u32/u64 words, tree indices).
         """
         assert nbits < 254
-        assert self.value < (1 << nbits), "value too large for bit decomposition"
+        assert self.cs.setup_mode or self.value < (1 << nbits), "value too large for bit decomposition"
         bits = [Boolean.witness(self.cs, (self.value >> i) & 1) for i in range(nbits)]
         acc = FpVar.constant(self.cs, 0)
         for i, b in enumerate(bits):
