@@ -55,6 +55,19 @@ class IppCom:
         self.t = t
         self.u = u
 
+    @staticmethod
+    def identity() -> "IppCom":
+        return IppCom(Fq12.one(), Fq12.one())
+
+    def __add__(self, other: "IppCom") -> "IppCom":
+        """Group op on commitments (GT is multiplicative; arkworks' Commitment
+        `+` is component-wise GT mul, aggregation.rs:170-173,321-323)."""
+        return IppCom(self.t * other.t, self.u * other.u)
+
+    def __mul__(self, scalar: int) -> "IppCom":
+        """Scalar `exponentiation` of the commitment (Commitment * scalar)."""
+        return IppCom(self.t.pow(scalar), self.u.pow(scalar))
+
     def __eq__(self, other):
         return self.t == other.t and self.u == other.u
 

@@ -191,11 +191,29 @@ def run_e2e_prover(circuit_cls, params, backend, verify_each=True):
 
 def test_e2e_portal_chain():
     """Full coordinator/worker pipeline on the chain workload, every Groth16
-    proof verified against [challenges, root].
+    proof verified against [challenges, root], plus SnarkPack aggregation of
+    the subcircuit proofs and full aggregate verification (the reference only
+    TIPA-verifies inline, aggregation.rs:339-341).
 
     Uses the host backend: the TPU kernels are covered by their own tests and
     by bench.py on real hardware; XLA:CPU compile latency would dominate here.
     """
     from hekaton_tpu.cpgroth16.backend import HostBackend
+    from hekaton_tpu.protocol.aggregation import AggProvingKey
+    from hekaton_tpu.protocol.tipa import tipa_setup
+    from hekaton_tpu.utils.fiat_shamir import Transcript
 
-    run_e2e_prover(PortalChainCircuit, PortalChainParams(4), HostBackend())
+    circ, pks, ipp_ck, agg_state, resps0, resps1 = run_e2e_prover(
+        PortalChainCircuit, PortalChainParams(4), HostBackend()
+    )
+
+    # Aggregate all subcircuit proofs into one (mirror of gen_agg_proof,
+    # distributed-prover/coordinator.rs:392-417). The TIPA key must use the
+    # same IPP ck that produced the super-commitment.
+    from hekaton_tpu.protocol.tipa import tipa_key_from_ipp
+
+    agg_pk = AggProvingKey(tipa_key_from_ipp(ipp_ck), lambda i: pks[i])
+    agg_proof = agg_state.gen_agg_proof(agg_pk, resps1)
+    assert agg_pk.verify_aggregate(
+        Transcript(b"test-e2e"), agg_state.super_com, agg_proof, agg_state.public_inputs
+    )
