@@ -1,0 +1,248 @@
+"""hekaton-tpu CLI: setup-* / write-big-merkle-r1cs / work.
+
+Command-for-command equivalent of the reference's `node` binary
+(/root/reference/mpi-snark/src/bin/node.rs:90-179). The `work` subcommand
+runs the full two-stage distributed proving pipeline in one process (the
+reference's all_in_one mode, mpi-snark/src/bin/all_in_one.rs) — the
+multi-chip SPMD path lives in hekaton_tpu.runtime.spmd and is exercised by
+the mesh runner / dryrun; host pairings/aggregation always run on the
+coordinator.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _circuit_from_keys(keys):
+    from .runtime.keys import ProvingKeys  # noqa: F401
+    from .utils.rng import Rng
+
+    cid = keys.circ_id
+    if cid == "big-merkle":
+        from .workloads.merkle import MerkleTreeCircuit
+
+        return MerkleTreeCircuit.rand(Rng.from_int(1000), keys.params)
+    if cid == "vm":
+        from .workloads.vm import VirtualMachine
+
+        return VirtualMachine.rand(Rng.from_int(1000), keys.params)
+    if cid == "partitioned-r1cs":
+        from .workloads.partitioned_r1cs import PartitionedR1CSCircuit
+
+        return PartitionedR1CSCircuit.rand(Rng.from_int(1000), keys.params)
+    if cid == "chain":
+        from .workloads.chain import PortalChainCircuit
+
+        return PortalChainCircuit.rand(Rng.from_int(1000), keys.params)
+    raise ValueError(f"unknown circuit id {cid}")
+
+
+def _backend(name: str):
+    from .cpgroth16.backend import HostBackend, TpuBackend
+
+    return TpuBackend() if name == "tpu" else HostBackend()
+
+
+def cmd_setup(args, circ_id: str, params):
+    from .runtime.keys import ProvingKeys
+    from .utils.rng import Rng
+
+    backend = _backend(args.backend)
+    t0 = time.time()
+
+    class _Tmp:
+        pass
+
+    # build the circuit for CRS generation
+    keys_params = params
+    if circ_id == "big-merkle":
+        from .workloads.merkle import MerkleTreeCircuit
+
+        circ = MerkleTreeCircuit.rand(Rng.from_int(1000), keys_params)
+    elif circ_id == "vm":
+        from .workloads.vm import VirtualMachine
+
+        circ = VirtualMachine.rand(Rng.from_int(1000), keys_params)
+    elif circ_id == "partitioned-r1cs":
+        from .workloads.partitioned_r1cs import PartitionedR1CSCircuit
+
+        circ = PartitionedR1CSCircuit.rand(Rng.from_int(1000), keys_params)
+    elif circ_id == "chain":
+        from .workloads.chain import PortalChainCircuit
+
+        circ = PortalChainCircuit.rand(Rng.from_int(1000), keys_params)
+    else:
+        raise ValueError(circ_id)
+
+    keys = ProvingKeys.generate(circ_id, circ, backend, lambda i: Rng.from_int(50 + i))
+    keys.save(args.key_out)
+    uniq = len(keys.minimal_pks)
+    print(
+        f"[setup] {circ_id}: {circ.num_subcircuits()} subcircuits, {uniq} unique CRSs, "
+        f"{time.time() - t0:.1f}s -> {args.key_out}"
+    )
+
+
+def cmd_work(args):
+    from .protocol.aggregation import AggProvingKey
+    from .protocol.coordinator import CoordinatorStage0State
+    from .protocol.ipp import ipp_setup
+    from .protocol.tipa import tipa_key_from_ipp
+    from .protocol.worker import process_stage0_request, process_stage1_request
+    from .runtime.keys import ProvingKeys
+    from .utils.fiat_shamir import Transcript
+    from .utils.rng import Rng
+
+    backend = _backend(args.backend)
+    keys = ProvingKeys.load(args.key_file)
+    circ = _circuit_from_keys(keys)
+    circuit_cls = type(circ)
+    n = circ.num_subcircuits()
+    rng = Rng.from_int(1000)
+    t0 = time.time()
+
+    print(f"[work] {keys.circ_id}: {n} subcircuits, backend={backend.name}")
+    stage0 = CoordinatorStage0State(circ)
+    reqs0 = [stage0.gen_request(i) for i in range(n)]
+    resps0 = [
+        process_stage0_request(rng.fork(str(i).encode()), circuit_cls, keys.get_pk(i), reqs0[i], backend)
+        for i in range(n)
+    ]
+    print(f"[work] stage0 done ({time.time() - t0:.1f}s)")
+
+    ipp_ck = ipp_setup(n, Rng.from_int(2000))
+    stage1 = stage0.process_stage0_responses(ipp_ck, resps0)
+    reqs1 = [stage1.gen_request(i) for i in range(n)]
+    agg_state = stage1.into_agg_state()
+    resps1 = [
+        process_stage1_request(
+            rng.fork(b"s1" + str(i).encode()),
+            circuit_cls,
+            keys.get_pk(i),
+            reqs0[i],
+            resps0[i],
+            reqs1[i],
+            backend,
+        )
+        for i in range(n)
+    ]
+    print(f"[work] stage1 done ({time.time() - t0:.1f}s)")
+
+    agg_pk = AggProvingKey(tipa_key_from_ipp(ipp_ck), lambda i: keys.get_pk(i))
+    agg_proof = agg_state.gen_agg_proof(agg_pk, resps1)
+    print(f"[work] aggregation done ({time.time() - t0:.1f}s)")
+
+    ok = agg_pk.verify_aggregate(
+        Transcript(b"test-e2e"), agg_state.super_com, agg_proof, agg_state.public_inputs
+    )
+    print(f"[work] aggregate proof verified: {ok}")
+    if not ok:
+        sys.exit(1)
+
+    # proof size accounting (node.rs:608-617 prints compressed+uncompressed)
+    ncom = len(agg_proof.tipa_proof.cross_coms)
+    size = 384 * (4 * ncom + 2 * ncom) + 64 * 2 + (64 + 128) * 2 + 384 * 2 * 16
+    print(f"[work] aggregate proof: {ncom} GIPA rounds, ~{size} bytes uncompressed")
+
+
+def cmd_write_big_merkle_r1cs(args):
+    from .circom import R1CSFile, write_witness
+    from .r1cs.builder import ConstraintSystem
+    from .utils.rng import Rng
+    from .workloads.merkle import MerkleTreeCircuit, MerkleTreeCircuitParams
+
+    params = MerkleTreeCircuitParams(args.num_subcircuits // 2, args.num_sha2_iters, 1)
+    circ = MerkleTreeCircuit.rand(Rng.from_int(1000), params)
+    from .protocol.portal_manager import SetupVarPortalManager
+
+    cs = ConstraintSystem()
+    pm = SetupVarPortalManager(cs, "rom")
+    for idx in range(circ.num_subcircuits()):
+        pm.start_subtrace()
+        circ.generate_constraints(cs, idx, pm)
+    f = R1CSFile.from_cs(cs)
+    with open(args.r1cs_out, "wb") as fh:
+        fh.write(f.write())
+    with open(args.witness_out, "w") as fh:
+        fh.write(write_witness(f.witness))
+    print(f"[write-r1cs] {cs.num_constraints} constraints -> {args.r1cs_out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="hekaton-tpu")
+    p.add_argument("--backend", choices=["host", "tpu"], default="host")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("setup-big-merkle")
+    s.add_argument("--num-subcircuits", type=int, required=True)
+    s.add_argument("--num-sha2-iters", type=int, required=True)
+    s.add_argument("--num-portals", type=int, required=True)
+    s.add_argument("--key-out", required=True)
+
+    s = sub.add_parser("setup-vm")
+    s.add_argument("--num-subcircuits", type=int, required=True)
+    s.add_argument("--num-cycles-per-subcircuit", type=int, required=True)
+    s.add_argument("--use-merkle-memory", action="store_true")
+    s.add_argument("--key-out", required=True)
+
+    s = sub.add_parser("setup-r1cs")
+    s.add_argument("--num-subcircuits", type=int, required=True)
+    s.add_argument("--num-txs", type=int, required=True)
+    s.add_argument("--circuit-file", required=True)
+    s.add_argument("--key-out", required=True)
+
+    s = sub.add_parser("setup-chain")
+    s.add_argument("--num-subcircuits", type=int, required=True)
+    s.add_argument("--key-out", required=True)
+
+    s = sub.add_parser("write-big-merkle-r1cs")
+    s.add_argument("--num-subcircuits", type=int, required=True)
+    s.add_argument("--num-sha2-iters", type=int, required=True)
+    s.add_argument("--r1cs-out", required=True)
+    s.add_argument("--witness-out", required=True)
+
+    s = sub.add_parser("work")
+    s.add_argument("--key-file", required=True)
+    s.add_argument("--num-workers", type=int, default=1)
+
+    args = p.parse_args(argv)
+    if args.cmd == "setup-big-merkle":
+        from .workloads.merkle import MerkleTreeCircuitParams
+
+        params = MerkleTreeCircuitParams(
+            args.num_subcircuits // 2, args.num_sha2_iters, args.num_portals
+        )
+        cmd_setup(args, "big-merkle", params)
+    elif args.cmd == "setup-vm":
+        from .workloads.vm import VirtualMachineParameters
+
+        log_n = (args.num_subcircuits - 1).bit_length()
+        assert 1 << log_n == args.num_subcircuits, "num_subcircuits must be a power of two"
+        params = VirtualMachineParameters(
+            log_num_subcircuit=log_n,
+            dummy_constraint_num=30,
+            operations_per_chunk=args.num_cycles_per_subcircuit,
+            use_merkle_memory=args.use_merkle_memory,
+        )
+        cmd_setup(args, "vm", params)
+    elif args.cmd == "setup-r1cs":
+        from .workloads.partitioned_r1cs import PartitionedR1CSCircuitParams
+
+        params = PartitionedR1CSCircuitParams(
+            args.num_subcircuits, args.num_txs, args.circuit_file
+        )
+        cmd_setup(args, "partitioned-r1cs", params)
+    elif args.cmd == "setup-chain":
+        from .workloads.chain import PortalChainParams
+
+        cmd_setup(args, "chain", PortalChainParams(args.num_subcircuits))
+    elif args.cmd == "write-big-merkle-r1cs":
+        cmd_write_big_merkle_r1cs(args)
+    elif args.cmd == "work":
+        cmd_work(args)
+
+
+if __name__ == "__main__":
+    main()

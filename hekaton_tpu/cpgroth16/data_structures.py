@@ -35,6 +35,16 @@ class PointVec:
             self._device = (jnp.asarray(ax), jnp.asarray(ay))
         return self._device
 
+    # pickle support for the ProvingKeys package (runtime/keys.py): persist
+    # host points + curve name only; device caches are rebuilt lazily
+    def __getstate__(self):
+        return {"points": self.points, "curve_name": self.curve.name}
+
+    def __setstate__(self, state):
+        self.points = state["points"]
+        self.curve = G1 if state["curve_name"] == "g1" else G2
+        self._device = None
+
 
 def g1vec(points):
     return PointVec(points, G1)

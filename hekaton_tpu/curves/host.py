@@ -264,3 +264,21 @@ def g2_from_bytes(b: bytes):
     c = [int.from_bytes(b[32 * i : 32 * (i + 1)], "little") for i in range(4)]
     c[3] &= (1 << 254) - 1
     return (Fq2(c[0], c[1]), Fq2(c[2], c[3]))
+
+
+# ---------------------------------------------------------------------------
+# Native acceleration: override the hot group ops with the C++ library when
+# available (native/hekaton_native.cpp). The Python definitions above remain
+# the ground truth (tests compare both); set HEKATON_NO_NATIVE=1 to disable.
+# ---------------------------------------------------------------------------
+try:  # pragma: no cover - exercised via tests/test_native.py
+    from ..native import available as _native_available
+
+    if _native_available():
+        from ..native import accel as _accel
+
+        pt_add = _accel.pt_add
+        pt_mul = _accel.pt_mul
+        msm_host = _accel.msm_host
+except Exception:  # noqa: BLE001 - any native failure falls back to Python
+    pass

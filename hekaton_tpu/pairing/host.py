@@ -128,3 +128,32 @@ def multi_pairing(g1s, g2s) -> Fq12:
 
 
 GT_ONE = Fq12.one()
+
+
+# ---------------------------------------------------------------------------
+# Native acceleration (see curves/host.py note). Also routes Fq12.pow through
+# the native tower, which dominates TIPA fold/verify cost.
+# ---------------------------------------------------------------------------
+try:  # pragma: no cover - exercised via tests/test_native.py
+    from ..native import available as _native_available
+
+    if _native_available():
+        from ..native import accel as _accel
+
+        pairing = _accel.pairing
+        multi_pairing = _accel.multi_pairing
+
+        from ..fields.bn254 import R as _R_ORDER
+
+        _fq12_pow_py = Fq12.pow
+
+        def _fq12_pow_native(self, e: int):
+            # gt_pow takes a 32-byte exponent; only valid for 0 <= e < R.
+            # (final_exponentiation's hard exponent is ~1020 bits: Python path.)
+            if 0 <= e < _R_ORDER:
+                return _accel.gt_pow(self, e)
+            return _fq12_pow_py(self, e)
+
+        Fq12.pow = _fq12_pow_native
+except Exception:  # noqa: BLE001
+    pass
