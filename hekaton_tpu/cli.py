@@ -32,6 +32,10 @@ def _circuit_from_keys(keys):
         from .workloads.partitioned_r1cs import PartitionedR1CSCircuit
 
         return PartitionedR1CSCircuit.rand(Rng.from_int(1000), keys.params)
+    if cid == "vkd":
+        from .workloads.vkd import VerifiableKeyDirectoryCircuit
+
+        return VerifiableKeyDirectoryCircuit.new(keys.params)
     if cid == "chain":
         from .workloads.chain import PortalChainCircuit
 
@@ -73,6 +77,10 @@ def cmd_setup(args, circ_id: str, params):
         from .workloads.chain import PortalChainCircuit
 
         circ = PortalChainCircuit.rand(Rng.from_int(1000), keys_params)
+    elif circ_id == "vkd":
+        from .workloads.vkd import VerifiableKeyDirectoryCircuit
+
+        circ = VerifiableKeyDirectoryCircuit.new(keys_params)
     else:
         raise ValueError(circ_id)
 
@@ -187,6 +195,10 @@ def main(argv=None):
     s.add_argument("--use-merkle-memory", action="store_true")
     s.add_argument("--key-out", required=True)
 
+    s = sub.add_parser("setup-vkd")
+    s.add_argument("--num-subcircuits", type=int, required=True)
+    s.add_argument("--key-out", required=True)
+
     s = sub.add_parser("setup-r1cs")
     s.add_argument("--num-subcircuits", type=int, required=True)
     s.add_argument("--num-txs", type=int, required=True)
@@ -227,6 +239,14 @@ def main(argv=None):
             use_merkle_memory=args.use_merkle_memory,
         )
         cmd_setup(args, "vm", params)
+    elif args.cmd == "setup-vkd":
+        from .workloads.vkd import VerifiableKeyDirectoryCircuitParams
+        from .workloads.vkd.vkd import null_leaf_value
+
+        log_n = (args.num_subcircuits - 1).bit_length()
+        assert 1 << log_n == args.num_subcircuits, "num_subcircuits must be a power of two"
+        params = VerifiableKeyDirectoryCircuitParams(log_n, null_leaf_value())
+        cmd_setup(args, "vkd", params)
     elif args.cmd == "setup-r1cs":
         from .workloads.partitioned_r1cs import PartitionedR1CSCircuitParams
 

@@ -88,6 +88,13 @@ class HostBackend:
 
     def fixed_base(self, base, scalars: list, g2: bool = False) -> list:
         """Windowed-table batch scalar-mul (8-bit windows, Jacobian)."""
+        try:
+            from ..native import accel, available
+
+            if available():
+                return accel.mul_batch([base] * len(scalars), scalars)
+        except Exception:
+            pass
         key = base if not g2 else (base[0], base[1])
         if key not in self._tables:
             tbl = []

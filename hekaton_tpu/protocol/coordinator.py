@@ -41,6 +41,41 @@ class G16ProvingKeyGenerator:
         return generate_parameters(subcirc, rng, self.backend)
 
 
+def crs_plan(circ):
+    """(unique_indices, representatives) for CRS deduplication.
+
+    Wraps the workload's get_unique_subcircuits/representative_subcircuit
+    (lib.rs:70-73) with a protocol-level correction: the subcircuit wrapper
+    adds boundary constraints for index 0 (evals==1 / padding checks,
+    subcircuit_circuit.rs:193-209) and index n-1 (time-eval == addr-eval,
+    :259-264), so those two indices NEVER share a CRS with middle subcircuits
+    even when the workload says their shapes match. The reference maps e.g.
+    all VKD padding subcircuits to index 0's CRS (vkd_constraints.rs:203) and
+    VM's last subcircuit to index 1's (vm_constraints.rs:95), which produces
+    unverifiable proofs for those indices — unnoticed there because
+    per-subcircuit verification is disabled (subcircuit_circuit.rs:549-551).
+    """
+    n = circ.num_subcircuits()
+    reps = [0] * n
+    delegate_cache: dict = {}
+    for i in range(n):
+        if i == 0 or i == n - 1:
+            reps[i] = i
+            continue
+        r = circ.representative_subcircuit(i)
+        if r == 0 or r == n - 1:
+            # pick a canonical middle delegate of the same workload shape
+            key = r
+            if key not in delegate_cache:
+                delegate_cache[key] = min(
+                    j for j in range(1, n - 1) if circ.representative_subcircuit(j) == key
+                )
+            r = delegate_cache[key]
+        reps[i] = r
+    unique = sorted(set(reps))
+    return unique, reps
+
+
 def sort_subtraces_by_addr(time_ordered_subtraces: list) -> list:
     flat = [e for st in time_ordered_subtraces for e in st]
     if flat and isinstance(flat[0], RamTranscriptEntry):

@@ -136,6 +136,34 @@ class FpVar:
         return bits
 
 
+    def to_canonical_bits(self) -> list:
+        """Full 254-bit little-endian decomposition with a canonical-form
+        (< R) enforcement, so low-bit extraction is sound for arbitrary field
+        elements (e.g. Poseidon outputs). The reference sidesteps this with
+        byte-level SHA digests (vkd/util.rs:19-27) or skips the constraint
+        entirely in its Poseidon branch (vkd/hash.rs:146-152); here we pay
+        ~3x254 constraints to bind the decomposition.
+        """
+        nbits = 254
+        bits = [Boolean.witness(self.cs, (self.value >> i) & 1) for i in range(nbits)]
+        acc = FpVar.constant(self.cs, 0)
+        for i, b in enumerate(bits):
+            acc = acc + b.var.scale(1 << i)
+        acc.enforce_equal(self)
+        # enforce bits < R (MSB-first scan against the constant modulus)
+        lt = Boolean.constant(self.cs, 0)
+        prefix_eq = Boolean.constant(self.cs, 1)
+        for i in range(nbits - 1, -1, -1):
+            r_bit = (R >> i) & 1
+            if r_bit:
+                lt = lt | (prefix_eq & bits[i].not_())
+                prefix_eq = prefix_eq & bits[i]
+            else:
+                prefix_eq = prefix_eq & bits[i].not_()
+        lt.enforce_true()
+        return bits
+
+
 class Boolean:
     __slots__ = ("var",)
 

@@ -25,13 +25,13 @@ class ProvingKeys:
 
     @classmethod
     def generate(cls, circ_id: str, circ, backend, rng_factory):
-        """Generate one CRS per unique subcircuit (data_structures.rs:53-110)."""
-        from ..protocol.coordinator import G16ProvingKeyGenerator
+        """Generate one CRS per unique subcircuit (data_structures.rs:53-110),
+        with the boundary-index correction of crs_plan."""
+        from ..protocol.coordinator import G16ProvingKeyGenerator, crs_plan
 
         gen = G16ProvingKeyGenerator(circ, backend)
-        unique = circ.get_unique_subcircuits()
+        unique, reps = crs_plan(circ)
         minimal = {i: gen.gen_pk(rng_factory(i), i) for i in unique}
-        reps = [circ.representative_subcircuit(i) for i in range(circ.num_subcircuits())]
         return cls(circ_id, circ.get_params(), minimal, circ.num_subcircuits(), reps)
 
     def get_pk(self, subcircuit_idx: int):

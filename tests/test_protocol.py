@@ -152,10 +152,12 @@ def run_e2e_prover(circuit_cls, params, backend, verify_each=True):
     circ = circuit_cls.rand(rng, params)
     n = circ.num_subcircuits()
 
+    from hekaton_tpu.protocol.coordinator import crs_plan
+
     gen = G16ProvingKeyGenerator(circ, backend)
-    unique = circ.get_unique_subcircuits()
+    unique, reps = crs_plan(circ)
     minimal_pks = {i: gen.gen_pk(Rng.from_int(50 + i), i) for i in unique}
-    pks = [minimal_pks[circ.representative_subcircuit(i)] for i in range(n)]
+    pks = [minimal_pks[reps[i]] for i in range(n)]
 
     stage0 = CoordinatorStage0State(circ)
     reqs0 = [stage0.gen_request(i) for i in range(n)]

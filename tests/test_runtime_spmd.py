@@ -1,0 +1,77 @@
+"""SPMD runtime tests on the virtual 8-device CPU mesh: the sharded MSM and
+the two-stage DistributedProverStep must match host ground truth."""
+import numpy as np
+import pytest
+
+import hekaton_tpu.curves.host as ch
+from hekaton_tpu.fields.bn254 import R
+
+jax = pytest.importorskip("jax")
+
+
+def _points(n):
+    import jax.numpy as jnp
+
+    from hekaton_tpu.curves.jax_curve import G1
+
+    base = []
+    p = ch.g1_gen()
+    for _ in range(min(n, 32)):
+        base.append(p)
+        p = ch.pt_dbl(p)
+    pts = [base[i % len(base)] for i in range(n)]
+    ax, ay = G1.pack_affine(pts)
+    return pts, jnp.asarray(ax), jnp.asarray(ay)
+
+
+def test_sharded_msm_matches_host():
+    import jax.numpy as jnp
+
+    from hekaton_tpu.curves.jax_curve import G1
+    from hekaton_tpu.msm.pippenger import pack_scalars
+    from hekaton_tpu.runtime.spmd import make_mesh, sharded_msm_fn
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, sub=4, pts=2)
+    n = 64
+    rng = np.random.RandomState(0)
+    pts, ax, ay = _points(n)
+    scalars = [int(x) for x in rng.randint(1, 2**60, size=n)]
+    sc = jnp.asarray(pack_scalars(scalars))
+
+    fn = jax.jit(sharded_msm_fn(mesh, G1))
+    out = fn(ax, ay, sc)
+    got = G1.unpack_jacobian(jax.tree.map(lambda a: a[None], out))[0]
+    exp = ch.msm_host(pts, scalars)
+    assert got == exp
+
+
+def test_distributed_prover_step():
+    import jax.numpy as jnp
+
+    from hekaton_tpu.curves.jax_curve import G1
+    from hekaton_tpu.msm.pippenger import pack_scalars
+    from hekaton_tpu.runtime.spmd import DistributedProverStep, ProverStepKeys, make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, sub=4, pts=2)
+    S, m0 = 4, 16
+    rng = np.random.RandomState(1)
+    pts0, ck_ax, ck_ay = _points(m0)
+
+    w0_host = [[int(x) for x in rng.randint(1, 2**60, size=m0)] for _ in range(S)]
+    w0 = jnp.asarray(np.stack([pack_scalars(w) for w in w0_host]))
+
+    # minimal keys: reuse the same table for all queries (shapes differ in
+    # real use; values are irrelevant for this equality check)
+    m = 64
+    ptsh, h_ax, h_ay = _points(m)
+    keys = ProverStepKeys(ck_ax, ck_ay, ck_ax, ck_ay, h_ax, h_ay, ck_ax, ck_ay)
+    step = DistributedProverStep(mesh, keys, domain_size=m)
+
+    coms = step.stage0(w0)
+    got = G1.unpack_jacobian(coms)
+    exp = [ch.msm_host(pts0, w) for w in w0_host]
+    assert got == exp

@@ -22,10 +22,15 @@ def test_vm_trace_equivalence():
 
 
 def test_vm_e2e_prover():
-    """Full coordinator/worker pipeline on the RAM-memory VM workload."""
+    """Full coordinator/worker pipeline on the RAM-memory VM workload.
+
+    n=4 (not 2) so the last subcircuit's representative is a middle index —
+    this exercises the crs_plan boundary-CRS correction (the reference maps
+    VM's last subcircuit onto the middle CRS, vm_constraints.rs:95, which
+    yields an unverifiable proof)."""
     from hekaton_tpu.cpgroth16.backend import HostBackend
     from test_protocol import run_e2e_prover
 
-    params = VirtualMachineParameters(log_num_subcircuit=1, dummy_constraint_num=4,
+    params = VirtualMachineParameters(log_num_subcircuit=2, dummy_constraint_num=4,
                                       operations_per_chunk=2)
     run_e2e_prover(VirtualMachine, params, HostBackend())
