@@ -63,14 +63,20 @@ def main():
     sc = _make_scalars(N)
     ax, ay, sc = jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(sc)
 
+    import numpy as np_
+
     fn = jax.jit(lambda x, y, s: msm(G1, x, y, s))
-    # warmup / compile
-    jax.block_until_ready(fn(ax, ay, sc))
+    # warmup / compile. NB: materialize via np.asarray — on the remote (axon)
+    # backend block_until_ready can return without surfacing device faults,
+    # which silently produces nonsense timings.
+    out = fn(ax, ay, sc)
+    _ = np_.asarray(out.x)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(ax, ay, sc))
+        out = fn(ax, ay, sc)
+        _ = np_.asarray(out.x)
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
     value = N / dt

@@ -120,6 +120,22 @@ def cmd_work(args):
     ]
     print(f"[work] stage0 done ({time.time() - t0:.1f}s)")
 
+    if getattr(args, "spill_dir", None):
+        # Memory-bounded mode (all_in_one.rs:109-196): round-trip the stage-0
+        # state through disk; stage 1 recommits deterministically from the
+        # 32-byte seeds, proving the worker-statelessness/recovery property.
+        import os
+        import pickle
+
+        os.makedirs(args.spill_dir, exist_ok=True)
+        spill = os.path.join(args.spill_dir, "stage0.pkl")
+        with open(spill, "wb") as f:
+            pickle.dump((reqs0, resps0), f, protocol=4)
+        del reqs0, resps0
+        with open(spill, "rb") as f:
+            reqs0, resps0 = pickle.load(f)
+        print(f"[work] stage0 state spilled+reloaded via {spill}")
+
     ipp_ck = ipp_setup(n, Rng.from_int(2000))
     stage1 = stage0.process_stage0_responses(ipp_ck, resps0)
     reqs1 = [stage1.gen_request(i) for i in range(n)]
@@ -218,6 +234,8 @@ def main(argv=None):
     s = sub.add_parser("work")
     s.add_argument("--key-file", required=True)
     s.add_argument("--num-workers", type=int, default=1)
+    s.add_argument("--spill-dir", default=None,
+                   help="spill stage-0 state to disk between phases (all_in_one low-mem mode)")
 
     args = p.parse_args(argv)
     if args.cmd == "setup-big-merkle":

@@ -143,36 +143,41 @@ def _canon(cols):
     return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
 
 
-# Constant gather indices mapping partial-product diagonals to columns.
-def _diag_index(ncols, shift):
-    idx = np.zeros((NLIMBS, ncols), dtype=np.int32)
+def _mul_columns(a, b, ncols):
+    """Column sums of the schoolbook product, gather-free.
+
+    cols[k] = sum_{i+j=k} lo16(a_i*b_j) + sum_{i+j=k-1} hi16(a_i*b_j).
+    Each partial row is placed at its static column offset by zero-padding
+    (pure concatenation — XLA fuses the stack+sum into dense VPU work; the
+    previous take_along_axis formulation lowered to per-element gathers and
+    was ~100x slower on TPU).
+    """
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    rows = []
     for i in range(NLIMBS):
-        for k in range(ncols):
-            j = k - i - shift
-            idx[i, k] = j if 0 <= j < NLIMBS else NLIMBS  # NLIMBS -> zero pad slot
-    return idx
-
-
-_IDX_LO_32 = _diag_index(32, 0)
-_IDX_HI_32 = _diag_index(32, 1)
-_IDX_LO_16 = _diag_index(16, 0)
-_IDX_HI_16 = _diag_index(16, 1)
-
-
-def _mul_columns(a, b, idx_lo, idx_hi):
-    """Column sums of the schoolbook product via constant-index gathers."""
-    prod = a[..., :, None] * b[..., None, :]  # (..., 16, 16) u32, exact
-    lo = prod & MASK
-    hi = prod >> LIMB_BITS
-    zpad = jnp.zeros_like(lo[..., :1])
-    lo = jnp.concatenate([lo, zpad], axis=-1)  # (..., 16, 17)
-    hi = jnp.concatenate([hi, zpad], axis=-1)
-    ncols = idx_lo.shape[-1]
-    ilo = jnp.broadcast_to(jnp.asarray(idx_lo), lo.shape[:-1] + (ncols,))
-    ihi = jnp.broadcast_to(jnp.asarray(idx_hi), hi.shape[:-1] + (ncols,))
-    cols = jnp.sum(jnp.take_along_axis(lo, ilo, axis=-1), axis=-2, dtype=u32)
-    cols = cols + jnp.sum(jnp.take_along_axis(hi, ihi, axis=-1), axis=-2, dtype=u32)
-    return cols  # values <= 32 * (2^16 - 1) < 2^21
+        prod = a[..., i : i + 1] * b  # (..., 16) u32, exact (16x16-bit)
+        lo = prod & MASK
+        hi = prod >> LIMB_BITS
+        # lo contributes at columns [i, i+16), hi at [i+1, i+17)
+        if i < ncols:
+            w = min(NLIMBS, ncols - i)
+            rows.append(
+                jnp.concatenate(
+                    [jnp.zeros(shape + (i,), u32), lo[..., :w],
+                     jnp.zeros(shape + (ncols - i - w,), u32)],
+                    axis=-1,
+                )
+            )
+        if i + 1 < ncols:
+            w = min(NLIMBS, ncols - i - 1)
+            rows.append(
+                jnp.concatenate(
+                    [jnp.zeros(shape + (i + 1,), u32), hi[..., :w],
+                     jnp.zeros(shape + (ncols - i - 1 - w,), u32)],
+                    axis=-1,
+                )
+            )
+    return jnp.sum(jnp.stack(rows, axis=0), axis=0, dtype=u32)  # < 2^21
 
 
 def _mul_wide(a, b_limbs):
@@ -181,7 +186,7 @@ def _mul_wide(a, b_limbs):
     if b.ndim == 1:
         b = jnp.broadcast_to(b, a.shape)
     a, b = jnp.broadcast_arrays(a, b)
-    return _canon(_mul_columns(a, b, _IDX_LO_32, _IDX_HI_32))
+    return _canon(_mul_columns(a, b, 32))
 
 
 def _mul_low(a, b_limbs):
@@ -190,7 +195,7 @@ def _mul_low(a, b_limbs):
     if b.ndim == 1:
         b = jnp.broadcast_to(b, a.shape)
     a, b = jnp.broadcast_arrays(a, b)
-    return _canon(_mul_columns(a, b, _IDX_LO_16, _IDX_HI_16))
+    return _canon(_mul_columns(a, b, 16))
 
 
 def _add_limbs(a, b):
