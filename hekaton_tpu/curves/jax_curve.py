@@ -193,5 +193,46 @@ class CurveOps:
         return out
 
 
-G1 = CurveOps(jf.FqOps, "g1")
+class PallasG1Ops(CurveOps):
+    """G1 ops that dispatch large batches to the fused Pallas point kernels
+    (curves/pallas_curve.py) on TPU; small batches and non-TPU backends use
+    the XLA formulas above. The threshold is evaluated at trace time (static
+    shapes), so each jit specialization picks one path."""
+
+    MIN_LANES = 128
+
+    @staticmethod
+    def _use_pallas(arr) -> bool:
+        import numpy as _np
+
+        from . import pallas_curve as _pc
+
+        if not _pc._on_tpu():
+            return False
+        n = int(_np.prod(arr.shape[:-1])) if arr.ndim > 1 else 1
+        return n >= PallasG1Ops.MIN_LANES
+
+    def dbl(self, p: Jac) -> Jac:
+        if self._use_pallas(p.x):
+            from . import pallas_curve as _pc
+
+            return Jac(*_pc.dbl(p.x, p.y, p.z))
+        return super().dbl(p)
+
+    def add(self, p: Jac, q: Jac) -> Jac:
+        if self._use_pallas(p.x):
+            from . import pallas_curve as _pc
+
+            return Jac(*_pc.add(p.x, p.y, p.z, q.x, q.y, q.z))
+        return super().add(p, q)
+
+    def add_mixed(self, p: Jac, ax, ay) -> Jac:
+        if self._use_pallas(p.x):
+            from . import pallas_curve as _pc
+
+            return Jac(*_pc.madd(p.x, p.y, p.z, ax, ay))
+        return super().add_mixed(p, ax, ay)
+
+
+G1 = PallasG1Ops(jf.FqOps, "g1")
 G2 = CurveOps(jf.Fq2Ops, "g2")

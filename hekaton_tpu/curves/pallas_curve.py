@@ -1,0 +1,333 @@
+"""Pallas TPU kernels: fused G1 Jacobian point operations.
+
+Each kernel runs an entire group operation (8M+5S mixed add, 2M+5S double)
+in VMEM on the limbs-first (16, BLK) layout, composing the tile-level
+Montgomery field ops below — one kernel launch instead of ~13 XLA-fused
+multiplies with HBM round-trips. Edge handling (infinity lanes, equal-x)
+mirrors curves/jax_curve.py:63-140 branchlessly.
+
+Layout note: batch stays on the vector lanes; all field values are canonical
+16-bit limbs in u32 rows. G1 only (G2's Fq2 towers stay on the XLA path —
+their MSMs are tiny by comparison).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.bn254 import LIMB_BITS, LIMB_MASK, NLIMBS
+from ..fields.jax_field import FQ
+
+u32 = jnp.uint32
+MASK = np.uint32(LIMB_MASK)
+
+BLK = 512
+
+_P_LIMBS = tuple(int(x) for x in FQ.p_limbs)
+_NINV0 = int(FQ.ninv_limbs[0])
+_P_ARR = np.array(_P_LIMBS, dtype=np.uint32).reshape(NLIMBS, 1)
+
+
+# ---------------------------------------------------------------------------
+# tile-level field ops on (16, BLK) canonical limb values
+# ---------------------------------------------------------------------------
+
+
+def _carry_canon(rows):
+    """(16, BLK) columns with values < 2^17-ish -> canonical limbs + carry row."""
+    out = []
+    carry = jnp.zeros_like(rows[0:1])
+    for k in range(NLIMBS):
+        v = rows[k : k + 1] + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return jnp.concatenate(out, axis=0), carry
+
+
+def _sub_p(r, top):
+    """Conditionally subtract the modulus: r (canonical), top carry row."""
+    borrow = jnp.zeros_like(top)
+    rows = []
+    for k in range(NLIMBS):
+        d = r[k : k + 1] - np.uint32(_P_LIMBS[k]) - borrow
+        rows.append(d & MASK)
+        borrow = (d >> LIMB_BITS) & 1
+    diff = jnp.concatenate(rows, axis=0)
+    take = jnp.logical_or(top >= 1, borrow == 0)
+    return jnp.where(take, diff, r)
+
+
+def tile_add(a, b):
+    s, carry = _carry_canon(a + b)
+    return _sub_p(s, carry)
+
+
+def tile_sub(a, b):
+    """a - b mod p: borrow-chain subtract, then add p back on underflow."""
+    borrow = jnp.zeros_like(a[0:1])
+    rows = []
+    for k in range(NLIMBS):
+        d = a[k : k + 1] - b[k : k + 1] - borrow
+        rows.append(d & MASK)
+        borrow = (d >> LIMB_BITS) & 1
+    diff = jnp.concatenate(rows, axis=0)
+    wrapped = borrow  # (1, BLK): 1 iff a < b
+    carry = jnp.zeros_like(borrow)
+    out = []
+    for k in range(NLIMBS):
+        v = diff[k : k + 1] + np.uint32(_P_LIMBS[k]) * wrapped + carry
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return jnp.concatenate(out, axis=0)
+
+
+def tile_mul(a, b, p_col):
+    """Fused CIOS Montgomery product on (16, BLK) tiles (see pallas_field)."""
+    blk = a.shape[1]
+    zero_row = jnp.zeros((1, blk), u32)
+
+    def at_lo(x):
+        return jnp.concatenate([x, zero_row], axis=0)
+
+    def at_hi(x):
+        return jnp.concatenate([zero_row, x], axis=0)
+
+    t = jnp.zeros((NLIMBS + 1, blk), u32)
+    for i in range(NLIMBS):
+        prod = a[i : i + 1, :] * b
+        t = t + at_lo(prod & MASK) + at_hi(prod >> LIMB_BITS)
+        m = (t[0:1, :] * np.uint32(_NINV0)) & MASK
+        q = m * p_col
+        t = t + at_lo(q & MASK) + at_hi(q >> LIMB_BITS)
+        carry = t[0:1, :] >> LIMB_BITS
+        t = jnp.concatenate([t[1:2, :] + carry, t[2:, :], zero_row], axis=0)
+
+    r, top = _carry_canon(t[:NLIMBS])
+    top = top + t[NLIMBS : NLIMBS + 1]
+    return _sub_p(r, top)
+
+
+def tile_sqr(a, p_col):
+    return tile_mul(a, a, p_col)
+
+
+def tile_is_zero(a):
+    return jnp.all(a == 0, axis=0, keepdims=True)  # (1, BLK) bool
+
+
+def tile_select(cond, a, b):
+    return jnp.where(cond, a, b)  # cond (1, BLK) broadcasts over sublanes
+
+
+_ONE_MONT = tuple(int(x) for x in FQ.one_mont)
+
+
+def _const_col(vals, blk):
+    """(16, blk) tile from 16 Python ints (scalar constants only — Mosaic
+    rejects captured constant arrays)."""
+    return jnp.concatenate([jnp.full((1, blk), np.uint32(v), u32) for v in vals], axis=0)
+
+
+def _dbl_tiles(x, y, z, p_col):
+    """dbl-2009-l (a=0), mirrors jax_curve.dbl (infinity-safe: z3 = 2yz)."""
+    a = tile_sqr(x, p_col)
+    b = tile_sqr(y, p_col)
+    c = tile_sqr(b, p_col)
+    d0 = tile_sqr(tile_add(x, b), p_col)
+    d1 = tile_sub(tile_sub(d0, a), c)
+    d = tile_add(d1, d1)
+    e = tile_add(tile_add(a, a), a)
+    ff = tile_sqr(e, p_col)
+    x3 = tile_sub(ff, tile_add(d, d))
+    c4 = tile_add(tile_add(c, c), tile_add(c, c))
+    c8 = tile_add(c4, c4)
+    y3 = tile_sub(tile_mul(e, tile_sub(d, x3), p_col), c8)
+    z3 = tile_mul(tile_add(y, y), z, p_col)
+    return x3, y3, z3
+
+
+def _madd_tiles(x1, y1, z1, ax, ay, p_col):
+    """madd-2007-bl with branchless edges, mirrors jax_curve.add_mixed."""
+    one = _const_col(_ONE_MONT, x1.shape[1])
+    q_inf = jnp.logical_and(tile_is_zero(ax), tile_is_zero(ay))
+    p_inf = tile_is_zero(z1)
+
+    z1z1 = tile_sqr(z1, p_col)
+    u2 = tile_mul(ax, z1z1, p_col)
+    s2 = tile_mul(tile_mul(ay, z1, p_col), z1z1, p_col)
+    h = tile_sub(u2, x1)
+    rr = tile_sub(s2, y1)
+    same_x = tile_is_zero(h)
+    same_y = tile_is_zero(rr)
+
+    hh = tile_sqr(h, p_col)
+    i = tile_add(tile_add(hh, hh), tile_add(hh, hh))
+    j = tile_mul(h, i, p_col)
+    r2 = tile_add(rr, rr)
+    v = tile_mul(x1, i, p_col)
+    x3 = tile_sub(tile_sub(tile_sqr(r2, p_col), j), tile_add(v, v))
+    yj = tile_mul(y1, j, p_col)
+    y3 = tile_sub(tile_mul(r2, tile_sub(v, x3), p_col), tile_add(yj, yj))
+    z3 = tile_sub(tile_sub(tile_sqr(tile_add(z1, h), p_col), z1z1), hh)
+
+    # doubling escape
+    dx, dy, dz = _dbl_tiles(x1, y1, z1, p_col)
+    dbl_case = jnp.logical_and(same_x, same_y)
+    x3 = tile_select(dbl_case, dx, x3)
+    y3 = tile_select(dbl_case, dy, y3)
+    z3 = tile_select(dbl_case, dz, z3)
+    # opposite points -> infinity
+    inf_case = jnp.logical_and(same_x, jnp.logical_not(same_y))
+    zero = jnp.zeros_like(z3)
+    z3 = tile_select(inf_case, zero, z3)
+    # p at infinity -> q (as jacobian with z = 1 or 0)
+    qz = tile_select(q_inf, zero, one)
+    x3 = tile_select(p_inf, ax, x3)
+    y3 = tile_select(p_inf, ay, y3)
+    z3 = tile_select(p_inf, qz, z3)
+    # q at infinity -> p  (overrides: if both infinite, result z = z1 = 0)
+    x3 = tile_select(jnp.logical_and(q_inf, jnp.logical_not(p_inf)), x1, x3)
+    y3 = tile_select(jnp.logical_and(q_inf, jnp.logical_not(p_inf)), y1, y3)
+    z3 = tile_select(jnp.logical_and(q_inf, jnp.logical_not(p_inf)), z1, z3)
+    return x3, y3, z3
+
+
+def _add_tiles(x1, y1, z1, x2, y2, z2, p_col):
+    """add-2007-bl with branchless edges, mirrors jax_curve.add."""
+    p_inf = tile_is_zero(z1)
+    q_inf = tile_is_zero(z2)
+    z1z1 = tile_sqr(z1, p_col)
+    z2z2 = tile_sqr(z2, p_col)
+    u1 = tile_mul(x1, z2z2, p_col)
+    u2 = tile_mul(x2, z1z1, p_col)
+    s1 = tile_mul(tile_mul(y1, z2, p_col), z2z2, p_col)
+    s2 = tile_mul(tile_mul(y2, z1, p_col), z1z1, p_col)
+    h = tile_sub(u2, u1)
+    rr = tile_sub(s2, s1)
+    same_x = tile_is_zero(h)
+    same_y = tile_is_zero(rr)
+
+    i = tile_sqr(tile_add(h, h), p_col)
+    j = tile_mul(h, i, p_col)
+    r2 = tile_add(rr, rr)
+    v = tile_mul(u1, i, p_col)
+    x3 = tile_sub(tile_sub(tile_sqr(r2, p_col), j), tile_add(v, v))
+    s1j = tile_mul(s1, j, p_col)
+    y3 = tile_sub(tile_mul(r2, tile_sub(v, x3), p_col), tile_add(s1j, s1j))
+    z3 = tile_mul(tile_sub(tile_sub(tile_sqr(tile_add(z1, z2), p_col), z1z1), z2z2), h, p_col)
+
+    dx, dy, dz = _dbl_tiles(x1, y1, z1, p_col)
+    dbl_case = jnp.logical_and(same_x, same_y)
+    x3 = tile_select(dbl_case, dx, x3)
+    y3 = tile_select(dbl_case, dy, y3)
+    z3 = tile_select(dbl_case, dz, z3)
+    inf_case = jnp.logical_and(same_x, jnp.logical_not(same_y))
+    z3 = tile_select(inf_case, jnp.zeros_like(z3), z3)
+    for (src_x, src_y, src_z, cond) in (
+        (x2, y2, z2, p_inf),
+        (x1, y1, z1, jnp.logical_and(q_inf, jnp.logical_not(p_inf))),
+    ):
+        x3 = tile_select(cond, src_x, x3)
+        y3 = tile_select(cond, src_y, y3)
+        z3 = tile_select(cond, src_z, z3)
+    return x3, y3, z3
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers ((n, 16) interface layout)
+# ---------------------------------------------------------------------------
+
+
+def _spec_pt():
+    return pl.BlockSpec((BLK, NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _spec_p():
+    return pl.BlockSpec((NLIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _madd_kernel(p_ref, x_ref, y_ref, z_ref, ax_ref, ay_ref, ox_ref, oy_ref, oz_ref):
+    p_col = p_ref[:]
+    x3, y3, z3 = _madd_tiles(
+        x_ref[:].T, y_ref[:].T, z_ref[:].T, ax_ref[:].T, ay_ref[:].T, p_col
+    )
+    ox_ref[:] = x3.T
+    oy_ref[:] = y3.T
+    oz_ref[:] = z3.T
+
+
+def _dbl_kernel(p_ref, x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref):
+    p_col = p_ref[:]
+    x3, y3, z3 = _dbl_tiles(x_ref[:].T, y_ref[:].T, z_ref[:].T, p_col)
+    ox_ref[:] = x3.T
+    oy_ref[:] = y3.T
+    oz_ref[:] = z3.T
+
+
+def _add_kernel(p_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref, ox_ref, oy_ref, oz_ref):
+    p_col = p_ref[:]
+    x3, y3, z3 = _add_tiles(
+        x1_ref[:].T, y1_ref[:].T, z1_ref[:].T, x2_ref[:].T, y2_ref[:].T, z2_ref[:].T, p_col
+    )
+    ox_ref[:] = x3.T
+    oy_ref[:] = y3.T
+    oz_ref[:] = z3.T
+
+
+@functools.lru_cache(maxsize=None)
+def _build(kernel_name: str, n_blocks: int, n_pts: int, interpret: bool):
+    kernel, n_in = {
+        "madd": (_madd_kernel, 5),
+        "dbl": (_dbl_kernel, 3),
+        "add": (_add_kernel, 6),
+    }[kernel_name]
+    out3 = tuple(jax.ShapeDtypeStruct((n_pts, NLIMBS), u32) for _ in range(3))
+
+    def call(*arrs):
+        return pl.pallas_call(
+            kernel,
+            out_shape=out3,
+            grid=(n_blocks,),
+            in_specs=[_spec_p()] + [_spec_pt() for _ in range(n_in)],
+            out_specs=tuple(_spec_pt() for _ in range(3)),
+            interpret=interpret,
+        )(jnp.asarray(_P_ARR), *arrs)
+
+    return call
+
+
+def _run(kernel_name: str, arrs):
+    """Flatten batch dims, pad to BLK, run, un-pad."""
+    shape = arrs[0].shape
+    flat = [a.reshape(-1, NLIMBS) for a in arrs]
+    n = flat[0].shape[0]
+    m = ((n + BLK - 1) // BLK) * BLK
+    if m != n:
+        flat = [jnp.concatenate([a, jnp.zeros((m - n, NLIMBS), u32)]) for a in flat]
+    call = _build(kernel_name, m // BLK, m, interpret=not _on_tpu())
+    outs = call(*flat)
+    return tuple(o[:n].reshape(shape) for o in outs)
+
+
+def madd(x, y, z, ax, ay):
+    return _run("madd", [x, y, z, ax, ay])
+
+
+def dbl(x, y, z):
+    return _run("dbl", [x, y, z])
+
+
+def add(x1, y1, z1, x2, y2, z2):
+    return _run("add", [x1, y1, z1, x2, y2, z2])
