@@ -57,7 +57,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from hekaton_tpu.curves.jax_curve import G1
-    from hekaton_tpu.msm.pippenger import msm
+    from hekaton_tpu.msm.pippenger import msm_tpu
 
     ax, ay = _make_points(N)
     sc = _make_scalars(N)
@@ -65,7 +65,7 @@ def main():
 
     import numpy as np_
 
-    fn = jax.jit(lambda x, y, s: msm(G1, x, y, s))
+    fn = jax.jit(lambda x, y, s: msm_tpu(G1, x, y, s))
     # warmup / compile. NB: materialize via np.asarray — on the remote (axon)
     # backend block_until_ready can return without surfacing device faults,
     # which silently produces nonsense timings.

@@ -133,13 +133,16 @@ class TpuBackend:
 
     @staticmethod
     @functools.lru_cache(maxsize=None)
-    def _msm_fn(curve_name: str):
+    def _msm_fn(curve_name: str, large: bool = False):
         import jax
 
-        from ..msm.pippenger import msm
+        from ..msm.pippenger import msm, msm_tpu
 
         curve = G1 if curve_name == "g1" else G2
-        return jax.jit(functools.partial(msm, curve))
+        # the padded-bucket msm_tpu (scatter-free) wins for big G1 batches;
+        # G2 and small batches keep the compact kernel
+        fn = msm_tpu if (large and curve_name == "g1") else msm
+        return jax.jit(functools.partial(fn, curve))
 
     @staticmethod
     def _next_pow2(n: int) -> int:
@@ -166,7 +169,7 @@ class TpuBackend:
             ay = jnp.concatenate([ay, jnp.zeros((pad,) + ay.shape[1:], ay.dtype)])
         else:
             ax, ay = ax[:m], ay[:m]
-        out = self._msm_fn(curve.name)(ax, ay, jnp.asarray(sc))
+        out = self._msm_fn(curve.name, large=m >= 4096)(ax, ay, jnp.asarray(sc))
         return curve.unpack_jacobian(jax.tree.map(lambda a: a[None], out))[0]
 
     def fixed_base(self, base, scalars: list, g2: bool = False) -> list:

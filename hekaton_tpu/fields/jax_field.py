@@ -143,14 +143,51 @@ def _canon(cols):
     return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
 
 
+# Constant gather indices mapping partial-product diagonals to columns
+# (the CPU path — XLA:CPU vectorizes these gathers well, and the shifted-row
+# formulation below is ~7x slower there; on TPU it is the reverse, ~1000x).
+def _diag_index(ncols, shift):
+    idx = np.zeros((NLIMBS, ncols), dtype=np.int32)
+    for i in range(NLIMBS):
+        for k in range(ncols):
+            j = k - i - shift
+            idx[i, k] = j if 0 <= j < NLIMBS else NLIMBS  # NLIMBS -> zero pad slot
+    return idx
+
+
+_IDX_LO = {n: _diag_index(n, 0) for n in (16, 32)}
+_IDX_HI = {n: _diag_index(n, 1) for n in (16, 32)}
+
+
+def _mul_columns_gather(a, b, ncols):
+    prod = a[..., :, None] * b[..., None, :]  # (..., 16, 16) u32, exact
+    lo = prod & MASK
+    hi = prod >> LIMB_BITS
+    zpad = jnp.zeros_like(lo[..., :1])
+    lo = jnp.concatenate([lo, zpad], axis=-1)  # (..., 16, 17)
+    hi = jnp.concatenate([hi, zpad], axis=-1)
+    ilo = jnp.broadcast_to(jnp.asarray(_IDX_LO[ncols]), lo.shape[:-1] + (ncols,))
+    ihi = jnp.broadcast_to(jnp.asarray(_IDX_HI[ncols]), hi.shape[:-1] + (ncols,))
+    cols = jnp.sum(jnp.take_along_axis(lo, ilo, axis=-1), axis=-2, dtype=u32)
+    cols = cols + jnp.sum(jnp.take_along_axis(hi, ihi, axis=-1), axis=-2, dtype=u32)
+    return cols  # values <= 32 * (2^16 - 1) < 2^21
+
+
 def _mul_columns(a, b, ncols):
-    """Column sums of the schoolbook product, gather-free.
+    """Column sums of the schoolbook product; backend-dispatched at trace time."""
+    if jax.default_backend() == "cpu":
+        return _mul_columns_gather(a, b, ncols)
+    return _mul_columns_shift(a, b, ncols)
+
+
+def _mul_columns_shift(a, b, ncols):
+    """Gather-free column sums for TPU.
 
     cols[k] = sum_{i+j=k} lo16(a_i*b_j) + sum_{i+j=k-1} hi16(a_i*b_j).
     Each partial row is placed at its static column offset by zero-padding
     (pure concatenation — XLA fuses the stack+sum into dense VPU work; the
-    previous take_along_axis formulation lowered to per-element gathers and
-    was ~100x slower on TPU).
+    take_along_axis formulation lowers to per-element gathers on TPU and
+    was ~100x slower there, and faulted the device watchdog).
     """
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     rows = []

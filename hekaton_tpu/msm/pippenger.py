@@ -241,6 +241,135 @@ def msm(curve: CurveOps, ax, ay, scalars, c: int | None = None, K: int = 32) -> 
 
 
 # ---------------------------------------------------------------------------
+# TPU-structured MSM: scatter-free padded-bucket accumulation
+# ---------------------------------------------------------------------------
+
+
+def _padded_level(curve: CurveOps, d, vals, n_buckets: int, L: int, max_count: int, mixed: bool):
+    """One bucket-accumulation level on a digit-sorted stream, scatter-free.
+
+    Every bucket b is allocated ceil(count_b / L) >= 1 CONTIGUOUS columns of a
+    virtual (L, ncols) layout (ncols = len(d)//L + n_buckets is a static upper
+    bound, exact for ANY digit distribution); elements are fetched by GATHER
+    (computed from bucket-start prefix sums), invalid slots become identity
+    points, and a fori loop of L steps adds row r of every column at once —
+    len(d) useful point-adds with zero scatters. Returns the per-column sums
+    (digit-sorted again) for the next level; max_count bounds the largest
+    bucket, so ceil(log_L) levels reduce every bucket to one column.
+    """
+    n_in = d.shape[0]
+    ids = jnp.arange(n_buckets, dtype=d.dtype)
+    starts = jnp.searchsorted(d, ids, side="left").astype(u32)
+    ends = jnp.searchsorted(d, ids, side="right").astype(u32)
+    counts = ends - starts
+    cols_per = jnp.maximum((counts + L - 1) // L, 1)
+    col_starts = jnp.concatenate([jnp.zeros(1, u32), jnp.cumsum(cols_per)[:-1].astype(u32)])
+    ncols = n_in // L + n_buckets  # static
+    col_idx = jnp.arange(ncols, dtype=u32)
+    col_bucket = (jnp.searchsorted(col_starts, col_idx, side="right") - 1).astype(jnp.int32)
+    within = col_idx - col_starts[col_bucket]
+    base = starts[col_bucket] + within * jnp.uint32(L)
+    cnt = counts[col_bucket]
+    Lr = min(L, max_count)
+
+    if mixed:
+        vx, vy = vals
+
+        def body(r, acc):
+            off = within * jnp.uint32(L) + jnp.uint32(r)
+            valid = off < cnt
+            src = jnp.where(valid, base + jnp.uint32(r), 0).astype(jnp.int32)
+            px = jnp.where(valid[:, None], vx[src], 0)  # (0,0) = infinity
+            py = jnp.where(valid[:, None], vy[src], 0)
+            return curve.add_mixed(acc, px, py)
+
+    else:
+
+        def body(r, acc):
+            off = within * jnp.uint32(L) + jnp.uint32(r)
+            valid = off < cnt
+            src = jnp.where(valid, base + jnp.uint32(r), 0).astype(jnp.int32)
+            pt = jax.tree.map(lambda a: a[src], vals)
+            pt = curve.select(valid, pt, curve.inf((ncols,)))
+            return curve.add(acc, pt)
+
+    acc = jax.lax.fori_loop(0, Lr, body, curve.inf((ncols,)))
+    next_max = (max_count + Lr - 1) // Lr
+    return col_bucket.astype(d.dtype), acc, next_max
+
+
+def _suffix_weighted(curve: CurveOps, buckets: Jac, W: int, B: int) -> Jac:
+    """sum_b b * B_b per window from (W*B,) digit-ordered bucket sums:
+    inclusive suffix scan along the bucket axis (log2 B masked-add steps),
+    then sum of T_1..T_{B-1} per window."""
+    bk = jax.tree.map(lambda a: a.reshape((W, B) + a.shape[1:]), buckets)
+    steps = max(1, int(math.ceil(math.log2(B))))
+    idx = jnp.arange(B)
+
+    def body(i, t):
+        sh = 1 << i
+        shifted = jax.tree.map(lambda a: jnp.roll(a, -sh, axis=1), t)
+        valid = (idx + sh < B)[None, :]
+        comb = curve.add(t, Jac(*shifted))
+        return curve.select(jnp.broadcast_to(valid, (W, B)), comb, t)
+
+    t = jax.lax.fori_loop(0, steps, body, bk)
+    # drop T_0 (bucket 0 contributes nothing) then tree-reduce over B
+    t = jax.tree.map(lambda a: a[:, 1:], t)
+    m = B - 1
+    red_steps = max(1, int(math.ceil(math.log2(m))))
+    ridx = jnp.arange(m)
+
+    def rbody(i, b):
+        sh = 1 << i
+        shifted = jax.tree.map(lambda a: jnp.roll(a, -sh, axis=1), b)
+        valid = (ridx + sh < m)[None, :]
+        comb = curve.add(b, Jac(*shifted))
+        return curve.select(jnp.broadcast_to(valid, (W, m)), comb, b)
+
+    b = jax.lax.fori_loop(0, red_steps, rbody, t)
+    return jax.tree.map(lambda a: a[:, 0], b)  # (W,) window sums
+
+
+def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32) -> Jac:
+    """Variable-base MSM structured for TPU: all windows batched into one
+    digit-sorted stream, padded-bucket gather accumulation (no scatters, no
+    data-dependent shapes), suffix-scan weighted bucket reduction, device
+    Horner combine. Semantics identical to msm()."""
+    N = ax.shape[0]
+    digits = digits_for_windows(scalars, c)  # (W, N)
+    W = digits.shape[0]
+    B = 1 << c
+    keys = digits + (jnp.arange(W, dtype=u32) * jnp.uint32(B))[:, None]
+    keys = keys.reshape(-1)  # (W*N,)
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    pidx = (order % N).astype(jnp.int32)
+    vals = (ax[pidx], ay[pidx])
+
+    d, acc, max_count = _padded_level(curve, sk, vals, W * B, L, N, mixed=True)
+    # later levels work on (W*B)-dominated column streams of FULL adds; a
+    # smaller step count L cuts their fixed cost ~L/L2 at the price of more
+    # (cheap) levels
+    L_rest = max(4, L // 4)
+    while max_count > 1:
+        d, acc, max_count = _padded_level(curve, d, acc, W * B, L_rest, max_count, mixed=False)
+    buckets = jax.tree.map(lambda a: a[: W * B], acc)
+
+    window_sums = _suffix_weighted(curve, buckets, W, B)
+
+    def horner(i, a):
+        def dbl_body(_, x):
+            return curve.dbl(x)
+
+        a = jax.lax.fori_loop(0, c, dbl_body, a)
+        return curve.add(a, _tree_index(window_sums, W - 2 - i))
+
+    a = _tree_index(window_sums, W - 1)
+    return jax.lax.fori_loop(0, W - 1, horner, a)
+
+
+# ---------------------------------------------------------------------------
 # Fixed-base batch scalar multiplication (CRS generation)
 # ---------------------------------------------------------------------------
 
