@@ -28,7 +28,15 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _new_shard_map  # jax >= 0.8
+
+    def shard_map(f=None, **kw):  # adapt: check_rep was renamed check_vma
+        kw.setdefault("check_vma", kw.pop("check_rep", False))
+        return _new_shard_map(f, **kw) if f is not None else _new_shard_map(**kw)
+
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..curves.jax_curve import G1, G2, CurveOps, Jac
