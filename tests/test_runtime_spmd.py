@@ -75,3 +75,30 @@ def test_distributed_prover_step():
     got = G1.unpack_jacobian(coms)
     exp = [ch.msm_host(pts0, w) for w in w0_host]
     assert got == exp
+
+
+def test_sharded_ntt_matches_local():
+    import jax.numpy as jnp
+
+    from hekaton_tpu.fields import jax_field as jf
+    from hekaton_tpu.fields.bn254 import R
+    from hekaton_tpu.ntt import ntt as nttm
+    from hekaton_tpu.ntt.sharded import make_sharded_ntt
+    from hekaton_tpu.runtime.spmd import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, sub=1, pts=8)
+    n = 1024
+    rng = np.random.RandomState(0)
+    vals = [int(x) % R for x in rng.randint(1, 2**62, size=n)]
+    x = jnp.asarray(jf.FR.pack(vals))
+
+    fwd = jax.jit(make_sharded_ntt(mesh, n, axis="pts"))
+    inv = jax.jit(make_sharded_ntt(mesh, n, axis="pts", inverse=True))
+    got = fwd(x)
+    exp = jax.jit(lambda a: nttm.ntt(a))(x)
+    assert jf.FR.unpack(got) == jf.FR.unpack(exp)
+    # roundtrip through the inverse transform
+    back = inv(got)
+    assert jf.FR.unpack(back) == vals
