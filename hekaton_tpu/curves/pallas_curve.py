@@ -26,7 +26,7 @@ from ..fields.jax_field import FQ
 u32 = jnp.uint32
 MASK = np.uint32(LIMB_MASK)
 
-BLK = 512
+BLK = 1024
 
 _P_LIMBS = tuple(int(x) for x in FQ.p_limbs)
 _NINV0 = int(FQ.ninv_limbs[0])

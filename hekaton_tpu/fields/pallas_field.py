@@ -34,7 +34,7 @@ from .jax_field import FieldSpec
 u32 = jnp.uint32
 MASK = np.uint32(LIMB_MASK)
 
-BLK = 512  # batch lanes per block: (16, 512) u32 tiles in VMEM
+BLK = 1024  # batch lanes per block: (16, 1024) u32 tiles in VMEM
 
 
 def _kernel(p_ref, a_ref, b_ref, o_ref, *, p_limbs, ninv0):

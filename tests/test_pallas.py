@@ -1,0 +1,55 @@
+"""Pallas kernels vs the XLA/host ground truth (interpreter mode on CPU;
+the same kernels are exercised compiled on real TPU by bench.py)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+import hekaton_tpu.curves.host as ch
+from hekaton_tpu.curves.jax_curve import G1, Jac
+from hekaton_tpu.fields import jax_field as jf
+from hekaton_tpu.fields.bn254 import P, R
+
+rng = np.random.RandomState(77)
+
+
+def test_pallas_mont_mul_matches_xla():
+    from hekaton_tpu.fields.pallas_field import mont_mul_pallas
+
+    for spec in (jf.FQ, jf.FR):
+        vals_a = [rng.randint(0, 2**62) * rng.randint(0, 2**62) % spec.modulus for _ in range(16)]
+        vals_b = [rng.randint(0, 2**62) * rng.randint(0, 2**62) % spec.modulus for _ in range(16)]
+        a = jnp.asarray(spec.pack(vals_a))
+        b = jnp.asarray(spec.pack(vals_b))
+        assert bool(jnp.all(mont_mul_pallas(spec, a, b) == jf.mont_mul(spec, a, b)))
+    # edge values
+    edge = [0, 1, P - 1, P - 2, (1 << 255) % P]
+    a = jnp.asarray(jf.FQ.pack(edge))
+    b = jnp.asarray(jf.FQ.pack(list(reversed(edge))))
+    assert bool(jnp.all(mont_mul_pallas(jf.FQ, a, b) == jf.mont_mul(jf.FQ, a, b)))
+
+
+def test_pallas_point_kernels_match_host():
+    from hekaton_tpu.curves import pallas_curve as pc
+
+    n = 10
+    pts = [ch.pt_mul(ch.g1_gen(), int(k)) for k in rng.randint(1, 2**30, size=n)]
+    pts[3] = None  # infinity lane
+    qs = [ch.pt_mul(ch.g1_gen(), int(k)) for k in rng.randint(1, 2**30, size=n)]
+    qs[5] = None
+    qs[7] = pts[7]  # doubling case
+    qs[8] = (pts[8][0], (-pts[8][1]) % ch.P)  # opposite -> infinity
+
+    ax, ay = G1.pack_affine(pts)
+    bx, by = G1.pack_affine(qs)
+    p_jac = G1.from_affine(jnp.asarray(ax), jnp.asarray(ay))
+    q_jac = G1.from_affine(jnp.asarray(bx), jnp.asarray(by))
+    expected = [ch.pt_add(p, q) for p, q in zip(pts, qs)]
+
+    out = pc.madd(p_jac.x, p_jac.y, p_jac.z, jnp.asarray(bx), jnp.asarray(by))
+    assert G1.unpack_jacobian(Jac(*out)) == expected
+    out = pc.dbl(p_jac.x, p_jac.y, p_jac.z)
+    assert G1.unpack_jacobian(Jac(*out)) == [ch.pt_dbl(p) if p else None for p in pts]
+    out = pc.add(p_jac.x, p_jac.y, p_jac.z, q_jac.x, q_jac.y, q_jac.z)
+    assert G1.unpack_jacobian(Jac(*out)) == expected
