@@ -165,10 +165,19 @@ def cmd_work(args):
     if not ok:
         sys.exit(1)
 
-    # proof size accounting (node.rs:608-617 prints compressed+uncompressed)
+    # proof size accounting (node.rs:608-617 prints compressed+uncompressed):
+    # per GIPA round 2 IppComs (2 Fq12 each) + 2 GT cross-products; finals are
+    # A in G1, B in G2, four KZG openings (value+proof: 2x G2-pairs, 2x G1-pairs)
     ncom = len(agg_proof.tipa_proof.cross_coms)
-    size = 384 * (4 * ncom + 2 * ncom) + 64 * 2 + (64 + 128) * 2 + 384 * 2 * 16
-    print(f"[work] aggregate proof: {ncom} GIPA rounds, ~{size} bytes uncompressed")
+    gt, g1u, g1c, g2u, g2c = 384, 64, 32, 128, 64
+    per_round = 4 * gt + 2 * gt
+    uncompressed = ncom * per_round + g1u + g2u + 2 * (2 * g2u) + 2 * (2 * g1u) + 2 * gt * 2
+    compressed = ncom * per_round + g1c + g2c + 2 * (2 * g2c) + 2 * (2 * g1c) + 2 * gt * 2
+    print(
+        f"[work] aggregate proof: {ncom} GIPA rounds, "
+        f"{uncompressed} bytes uncompressed / {compressed} bytes compressed "
+        f"(GT elements dominate; per-subcircuit G16 proof: 320B/160B)"
+    )
 
 
 def cmd_write_big_merkle_r1cs(args):

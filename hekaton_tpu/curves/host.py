@@ -282,3 +282,93 @@ try:  # pragma: no cover - exercised via tests/test_native.py
         msm_host = _accel.msm_host
 except Exception:  # noqa: BLE001 - any native failure falls back to Python
     pass
+
+
+# ---------------------------------------------------------------------------
+# Compressed serialization (arkworks-style: x plus a y-sign flag in the two
+# spare MSB bits; p is 254 bits so bits 254/255 of the last byte are free).
+# Used for the proof-size accounting the reference prints at the end of
+# `work` (mpi-snark/src/bin/node.rs:608-617).
+# ---------------------------------------------------------------------------
+
+_COMP_INF = 1 << 6
+_COMP_NEG = 1 << 7
+
+
+def _fq_sqrt(a: int) -> int:
+    """Square root in Fq (p = 3 mod 4): a^((p+1)/4); raises if non-residue."""
+    r = pow(a % P, (P + 1) // 4, P)
+    if r * r % P != a % P:
+        raise ValueError("not a quadratic residue")
+    return r
+
+
+def _fq2_sqrt(a: "Fq2") -> "Fq2":
+    """Square root in Fq2 = Fq[u]/(u^2+1) via the norm trick."""
+    if a.is_zero():
+        return Fq2(0, 0)
+    if a.c1 == 0:
+        try:
+            return Fq2(_fq_sqrt(a.c0), 0)
+        except ValueError:
+            # sqrt(c0) = s*u with s^2 = -c0
+            return Fq2(0, _fq_sqrt((-a.c0) % P))
+    # norm = c0^2 + c1^2 is a residue for squares; alpha = sqrt(norm)
+    alpha = _fq_sqrt((a.c0 * a.c0 + a.c1 * a.c1) % P)
+    delta = (a.c0 + alpha) * fq_inv(2) % P
+    if pow(delta, (P - 1) // 2, P) != 1:
+        delta = (a.c0 - alpha) * fq_inv(2) % P
+    x0 = _fq_sqrt(delta)
+    x1 = a.c1 * fq_inv(2 * x0 % P) % P
+    return Fq2(x0, x1)
+
+
+def g1_to_bytes_compressed(pt) -> bytes:
+    if pt is None:
+        out = bytearray(32)
+        out[31] |= _COMP_INF
+        return bytes(out)
+    x, y = pt
+    out = bytearray(x.to_bytes(32, "little"))
+    if y > P - y:  # lexicographically-largest convention
+        out[31] |= _COMP_NEG
+    return bytes(out)
+
+
+def g1_from_bytes_compressed(b: bytes):
+    flags = b[31] & 0xC0
+    if flags & _COMP_INF:
+        return None
+    x = int.from_bytes(bytes(b[:31]) + bytes([b[31] & 0x3F]), "little")
+    y = _fq_sqrt((x * x % P * x + B_G1) % P)
+    if (y > P - y) != bool(flags & _COMP_NEG):
+        y = P - y
+    return (x, y)
+
+
+def g2_to_bytes_compressed(pt) -> bytes:
+    if pt is None:
+        out = bytearray(64)
+        out[63] |= _COMP_INF
+        return bytes(out)
+    x, y = pt
+    out = bytearray(x.c0.to_bytes(32, "little") + x.c1.to_bytes(32, "little"))
+    # sign convention on (c1, c0) lexicographic order of y
+    neg = (y.c1, y.c0) > ((P - y.c1) % P, (P - y.c0) % P)
+    if neg:
+        out[63] |= _COMP_NEG
+    return bytes(out)
+
+
+def g2_from_bytes_compressed(b: bytes):
+    flags = b[63] & 0xC0
+    if flags & _COMP_INF:
+        return None
+    c0 = int.from_bytes(b[:32], "little")
+    c1 = int.from_bytes(bytes(b[32:63]) + bytes([b[63] & 0x3F]), "little")
+    x = Fq2(c0, c1)
+    y = _fq2_sqrt(x * x * x + B_G2)
+    neg = (y.c1, y.c0) > ((P - y.c1) % P, (P - y.c0) % P)
+    if neg != bool(flags & _COMP_NEG):
+        y = Fq2((P - y.c0) % P, (P - y.c1) % P)
+    return (x, y)

@@ -114,3 +114,27 @@ def test_multi_pairing_product():
     # verifier-style check: e(aG, bH) * e(-abG, H) == 1
     a, b = 777, 999
     assert multi_pairing([pt_mul(g, a), pt_neg(pt_mul(g, a * b))], [pt_mul(h, b), h]) == GT_ONE
+
+
+def test_compressed_point_serialization():
+    """arkworks-style compressed points: x + sign/infinity flag bits."""
+    import random
+
+    import hekaton_tpu.curves.host as ch
+    from hekaton_tpu.fields.bn254 import R
+
+    rng = random.Random(4)
+    for _ in range(5):
+        p = ch.pt_mul(ch.g1_gen(), rng.randrange(1, R))
+        b = ch.g1_to_bytes_compressed(p)
+        assert len(b) == 32 and ch.g1_from_bytes_compressed(b) == p
+        q = ch.pt_mul(ch.g2_gen(), rng.randrange(1, R))
+        b2 = ch.g2_to_bytes_compressed(q)
+        assert len(b2) == 64 and ch.g2_from_bytes_compressed(b2) == q
+    assert ch.g1_from_bytes_compressed(ch.g1_to_bytes_compressed(None)) is None
+    assert ch.g2_from_bytes_compressed(ch.g2_to_bytes_compressed(None)) is None
+    # negated point flips only the flag bit
+    p = ch.pt_mul(ch.g1_gen(), 7)
+    pn = ch.pt_neg(p)
+    assert ch.g1_to_bytes_compressed(p)[:31] == ch.g1_to_bytes_compressed(pn)[:31]
+    assert ch.g1_from_bytes_compressed(ch.g1_to_bytes_compressed(pn)) == pn
