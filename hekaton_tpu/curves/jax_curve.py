@@ -170,12 +170,10 @@ class CurveOps:
                 out.append(None)
                 continue
             if isinstance(z, int):
-                from ..fields.host import fq_inv
-                from ..fields.bn254 import P
-
-                zi = fq_inv(z)
-                zi2 = zi * zi % P
-                out.append((x * zi2 % P, y * zi2 * zi % P))
+                mod = f.spec.modulus
+                zi = pow(z, mod - 2, mod)
+                zi2 = zi * zi % mod
+                out.append((x * zi2 % mod, y * zi2 * zi % mod))
             else:
                 zi = z.inv()
                 zi2 = zi.square()
@@ -236,3 +234,12 @@ class PallasG1Ops(CurveOps):
 
 G1 = PallasG1Ops(jf.FqOps, "g1")
 G2 = CurveOps(jf.Fq2Ops, "g2")
+
+
+def g1_bls12_381() -> CurveOps:
+    """G1 over BLS12-381 (24-limb base field); XLA kernels only for now —
+    the Pallas point kernels are BN254-specialized (curves/pallas_curve.py)."""
+    from ..fields.bls12_381 import NLIMBS_FQ, P as P381
+
+    spec = jf.FieldSpec(P381, "fq_bls381", nlimbs=NLIMBS_FQ)
+    return CurveOps(jf.make_fp_ops(spec), "g1_bls381")

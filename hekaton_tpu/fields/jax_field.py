@@ -41,19 +41,26 @@ MASK = np.uint32(LIMB_MASK)
 
 
 class FieldSpec:
-    """Static per-modulus data: limb-encoded modulus and Montgomery constants."""
+    """Static per-modulus data: limb-encoded modulus and Montgomery constants.
 
-    def __init__(self, modulus: int, name: str):
+    nlimbs parametrizes the 16-bit limb count (16 for 254/255-bit moduli,
+    24 for BLS12-381's 381-bit base field)."""
+
+    def __init__(self, modulus: int, name: str, nlimbs: int = NLIMBS):
         self.modulus = modulus
         self.name = name
-        r_mod, r2_mod, ninv = mont_constants(modulus)
+        self.nlimbs = nlimbs
+        self.mont_r = 1 << (LIMB_BITS * nlimbs)
+        r_mod = self.mont_r % modulus
+        r2_mod = (self.mont_r * self.mont_r) % modulus
+        ninv = (-pow(modulus, -1, self.mont_r)) % self.mont_r
         self.r_mod = r_mod
         self.r2_mod = r2_mod
         self.ninv = ninv
-        self.p_limbs = np.array(to_limbs(modulus), dtype=np.uint32)
-        self.ninv_limbs = np.array(to_limbs(ninv), dtype=np.uint32)
-        self.one_mont = np.array(to_limbs(r_mod), dtype=np.uint32)
-        self.zero = np.zeros(NLIMBS, dtype=np.uint32)
+        self.p_limbs = np.array(to_limbs(modulus, nlimbs), dtype=np.uint32)
+        self.ninv_limbs = np.array(to_limbs(ninv, nlimbs), dtype=np.uint32)
+        self.one_mont = np.array(to_limbs(r_mod, nlimbs), dtype=np.uint32)
+        self.zero = np.zeros(nlimbs, dtype=np.uint32)
         # bits of modulus-2, LSB first, for Fermat inversion / fixed pow
         self.inv_exp_bits = np.array(
             [(modulus - 2) >> i & 1 for i in range((modulus - 2).bit_length())],
@@ -62,22 +69,22 @@ class FieldSpec:
 
     # -- host <-> device packing ------------------------------------------------
     def to_mont(self, x: int) -> int:
-        return (x % self.modulus) * MONT_R % self.modulus
+        return (x % self.modulus) * self.mont_r % self.modulus
 
     def from_mont(self, x: int) -> int:
-        return x * pow(MONT_R, -1, self.modulus) % self.modulus
+        return x * pow(self.mont_r, -1, self.modulus) % self.modulus
 
     def pack(self, xs, mont: bool = True) -> np.ndarray:
         """ints -> (n, 16) uint32 limb array (Montgomery form by default)."""
         xs = [self.to_mont(x) if mont else x % self.modulus for x in xs]
-        out = np.empty((len(xs), NLIMBS), dtype=np.uint32)
+        out = np.empty((len(xs), self.nlimbs), dtype=np.uint32)
         for i, x in enumerate(xs):
-            out[i] = to_limbs(x)
+            out[i] = to_limbs(x, self.nlimbs)
         return out
 
     def unpack(self, arr, mont: bool = True) -> list:
         arr = np.asarray(arr)
-        flat = arr.reshape(-1, NLIMBS)
+        flat = arr.reshape(-1, self.nlimbs)
         out = []
         for row in flat:
             v = from_limbs(row)
@@ -146,17 +153,14 @@ def _canon(cols):
 # Constant gather indices mapping partial-product diagonals to columns
 # (the CPU path — XLA:CPU vectorizes these gathers well, and the shifted-row
 # formulation below is ~7x slower there; on TPU it is the reverse, ~1000x).
-def _diag_index(ncols, shift):
-    idx = np.zeros((NLIMBS, ncols), dtype=np.int32)
-    for i in range(NLIMBS):
+@functools.lru_cache(maxsize=None)
+def _diag_index(nl, ncols, shift):
+    idx = np.zeros((nl, ncols), dtype=np.int32)
+    for i in range(nl):
         for k in range(ncols):
             j = k - i - shift
-            idx[i, k] = j if 0 <= j < NLIMBS else NLIMBS  # NLIMBS -> zero pad slot
+            idx[i, k] = j if 0 <= j < nl else nl  # nl -> zero pad slot
     return idx
-
-
-_IDX_LO = {n: _diag_index(n, 0) for n in (16, 32)}
-_IDX_HI = {n: _diag_index(n, 1) for n in (16, 32)}
 
 
 def _mul_columns_gather(a, b, ncols):
@@ -166,8 +170,9 @@ def _mul_columns_gather(a, b, ncols):
     zpad = jnp.zeros_like(lo[..., :1])
     lo = jnp.concatenate([lo, zpad], axis=-1)  # (..., 16, 17)
     hi = jnp.concatenate([hi, zpad], axis=-1)
-    ilo = jnp.broadcast_to(jnp.asarray(_IDX_LO[ncols]), lo.shape[:-1] + (ncols,))
-    ihi = jnp.broadcast_to(jnp.asarray(_IDX_HI[ncols]), hi.shape[:-1] + (ncols,))
+    nl = a.shape[-1]
+    ilo = jnp.broadcast_to(jnp.asarray(_diag_index(nl, ncols, 0)), lo.shape[:-1] + (ncols,))
+    ihi = jnp.broadcast_to(jnp.asarray(_diag_index(nl, ncols, 1)), hi.shape[:-1] + (ncols,))
     cols = jnp.sum(jnp.take_along_axis(lo, ilo, axis=-1), axis=-2, dtype=u32)
     cols = cols + jnp.sum(jnp.take_along_axis(hi, ihi, axis=-1), axis=-2, dtype=u32)
     return cols  # values <= 32 * (2^16 - 1) < 2^21
@@ -190,14 +195,15 @@ def _mul_columns_shift(a, b, ncols):
     was ~100x slower there, and faulted the device watchdog).
     """
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    nl = a.shape[-1]
     rows = []
-    for i in range(NLIMBS):
+    for i in range(nl):
         prod = a[..., i : i + 1] * b  # (..., 16) u32, exact (16x16-bit)
         lo = prod & MASK
         hi = prod >> LIMB_BITS
         # lo contributes at columns [i, i+16), hi at [i+1, i+17)
         if i < ncols:
-            w = min(NLIMBS, ncols - i)
+            w = min(nl, ncols - i)
             rows.append(
                 jnp.concatenate(
                     [jnp.zeros(shape + (i,), u32), lo[..., :w],
@@ -206,7 +212,7 @@ def _mul_columns_shift(a, b, ncols):
                 )
             )
         if i + 1 < ncols:
-            w = min(NLIMBS, ncols - i - 1)
+            w = min(nl, ncols - i - 1)
             rows.append(
                 jnp.concatenate(
                     [jnp.zeros(shape + (i + 1,), u32), hi[..., :w],
@@ -223,7 +229,7 @@ def _mul_wide(a, b_limbs):
     if b.ndim == 1:
         b = jnp.broadcast_to(b, a.shape)
     a, b = jnp.broadcast_arrays(a, b)
-    return _canon(_mul_columns(a, b, 32))
+    return _canon(_mul_columns(a, b, 2 * a.shape[-1]))
 
 
 def _mul_low(a, b_limbs):
@@ -232,7 +238,7 @@ def _mul_low(a, b_limbs):
     if b.ndim == 1:
         b = jnp.broadcast_to(b, a.shape)
     a, b = jnp.broadcast_arrays(a, b)
-    return _canon(_mul_columns(a, b, 16))
+    return _canon(_mul_columns(a, b, a.shape[-1]))
 
 
 def _add_limbs(a, b):
@@ -287,11 +293,12 @@ def neg(spec: FieldSpec, a):
 
 def mont_mul(spec: FieldSpec, a, b):
     """Montgomery product abR^{-1} mod p (REDC)."""
+    nl = spec.nlimbs
     t = _mul_wide(a, b)
-    m = _mul_low(t[..., :NLIMBS], spec.ninv_limbs)
+    m = _mul_low(t[..., :nl], spec.ninv_limbs)
     mp = _mul_wide(m, spec.p_limbs)
-    s = _add_limbs(t, mp)  # 2NR < 2^512: fits 32 limbs
-    return _cond_sub_mod(s[..., NLIMBS:], spec.p_limbs)
+    s = _add_limbs(t, mp)  # 2NR < R^2: fits 2*nl limbs
+    return _cond_sub_mod(s[..., nl:], spec.p_limbs)
 
 
 def mont_sqr(spec: FieldSpec, a):
@@ -392,6 +399,47 @@ def fq2_eq(a, b):
 # Generic field-ops namespaces (the curve layer is templated on these;
 # G1 instantiates over Fq, G2 over Fq2 — same Jacobian formulas)
 # ---------------------------------------------------------------------------
+
+
+def make_fp_ops(spec: FieldSpec):
+    """Generic prime-field ops namespace over a FieldSpec (any limb count) —
+    the CurveOps field-adapter interface (curves/jax_curve.py:34)."""
+
+    class _Ops:
+        ndim = 1
+
+        add = staticmethod(lambda a, b: add(spec, a, b))
+        sub = staticmethod(lambda a, b: sub(spec, a, b))
+        neg = staticmethod(lambda a: neg(spec, a))
+        mul = staticmethod(lambda a, b: mont_mul(spec, a, b))
+        sqr = staticmethod(lambda a: mont_sqr(spec, a))
+        is_zero = staticmethod(lambda a: is_zero(spec, a))
+        eq = staticmethod(lambda a, b: eq(spec, a, b))
+
+        @staticmethod
+        def select(cond, a, b):
+            return select(cond, a, b)
+
+        @staticmethod
+        def zeros(batch_shape):
+            return jnp.zeros(batch_shape + (spec.nlimbs,), u32)
+
+        @staticmethod
+        def one(batch_shape):
+            return jnp.broadcast_to(
+                jnp.asarray(spec.one_mont, u32), batch_shape + (spec.nlimbs,)
+            )
+
+        @staticmethod
+        def pack(vals) -> np.ndarray:
+            return spec.pack(vals)
+
+        @staticmethod
+        def unpack(arr):
+            return spec.unpack(arr)
+
+    _Ops.spec = spec
+    return _Ops
 
 
 class FqOps:

@@ -203,7 +203,7 @@ def _weighted_bucket_sum(curve: CurveOps, buckets: Jac, nbuckets: int) -> Jac:
     return _tree_reduce(curve, b)
 
 
-def msm(curve: CurveOps, ax, ay, scalars, c: int | None = None, K: int = 32) -> Jac:
+def msm(curve: CurveOps, ax, ay, scalars, c: int | None = None, K: int = 32, nbits: int = 254) -> Jac:
     """Variable-base MSM: sum_i scalars[i] * P_i.
 
     ax, ay: (N, ...) affine coordinate arrays ((0,0) = infinity);
@@ -213,7 +213,7 @@ def msm(curve: CurveOps, ax, ay, scalars, c: int | None = None, K: int = 32) -> 
     if c is None:
         c = max(2, min(13, int(math.log2(max(N, 2))) - 3))
     nbuckets = 1 << c
-    digits = digits_for_windows(scalars, c)  # (W, N)
+    digits = digits_for_windows(scalars, c, nbits)  # (W, N)
     W = digits.shape[0]
 
     def window_body(_, digs):
@@ -331,13 +331,13 @@ def _suffix_weighted(curve: CurveOps, buckets: Jac, W: int, B: int) -> Jac:
     return jax.tree.map(lambda a: a[:, 0], b)  # (W,) window sums
 
 
-def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32) -> Jac:
+def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: int = 254) -> Jac:
     """Variable-base MSM structured for TPU: all windows batched into one
     digit-sorted stream, padded-bucket gather accumulation (no scatters, no
     data-dependent shapes), suffix-scan weighted bucket reduction, device
     Horner combine. Semantics identical to msm()."""
     N = ax.shape[0]
-    digits = digits_for_windows(scalars, c)  # (W, N)
+    digits = digits_for_windows(scalars, c, nbits)  # (W, N)
     W = digits.shape[0]
     B = 1 << c
     keys = digits + (jnp.arange(W, dtype=u32) * jnp.uint32(B))[:, None]
