@@ -219,3 +219,52 @@ def test_e2e_portal_chain():
     assert agg_pk.verify_aggregate(
         Transcript(b"test-e2e"), agg_state.super_com, agg_proof, agg_state.public_inputs
     )
+
+
+def test_tampered_trace_rejected():
+    """The permutation/memory-checking argument must reject a tampered portal
+    value: corrupt one time-ordered entry and the final time-eval == addr-eval
+    closure (or the addr-coherence checks) must fail."""
+    params = PortalChainParams(2)
+    circ = PortalChainCircuit.rand(Rng.from_int(7), params)
+    n = circ.num_subcircuits()
+    ipp_ck = ipp_setup(n, Rng.from_int(8))
+    stage0 = CoordinatorStage0State(circ)
+    reqs0 = [stage0.gen_request(i) for i in range(n)]
+    import hekaton_tpu.curves.host as ch
+
+    fake = [Stage0Response(i, ch.pt_mul(ch.g1_gen(), 5 + i), bytes(32)) for i in range(n)]
+    stage1 = stage0.process_stage0_responses(ipp_ck, fake)
+    reqs1 = [stage1.gen_request(i) for i in range(n)]
+
+    def run(tamper: bool) -> bool:
+        # a tampered witness either fails cs.is_satisfied() or trips the
+        # enforce_equal witness-bug guard during synthesis — both = rejected
+        ok = True
+        for r0, r1 in zip(reqs0, reqs1):
+            sub = SubcircuitWithPortalsProver(PortalChainCircuit, n)
+            sub.subcircuit_idx = r0.subcircuit_idx
+            partial = PortalChainCircuit.new(params)
+            partial.set_serialized_witnesses(r1.subcircuit_idx, r1.serialized_witnesses)
+            sub.circ = partial
+            time_st = list(r0.time_ordered_subtrace)
+            if tamper and r0.subcircuit_idx == 1:
+                e = time_st[0]
+                time_st[0] = tr.RomTranscriptEntry(addr=e.addr, val=(e.val + 1) % R)
+            sub.time_ordered_subtrace = time_st
+            sub.addr_ordered_subtrace = r0.addr_ordered_subtrace
+            sub.cur_leaf = r1.cur_leaf
+            sub.next_leaf_membership = r1.next_leaf_membership
+            sub.challenges = r1.cur_leaf.evals.challenge_list()
+            sub.root = r1.root
+            cs = ConstraintSystem()
+            try:
+                sub.generate_constraints(0, cs)
+                sub.generate_constraints(1, cs)
+            except AssertionError:
+                return False
+            ok = ok and cs.is_satisfied()
+        return ok
+
+    assert run(tamper=False)
+    assert not run(tamper=True)
