@@ -56,9 +56,6 @@ def cmd_setup(args, circ_id: str, params):
     backend = _backend(args.backend)
     t0 = time.time()
 
-    class _Tmp:
-        pass
-
     # build the circuit for CRS generation
     keys_params = params
     if circ_id == "big-merkle":

@@ -27,12 +27,10 @@ import numpy as np
 from .bn254 import (
     LIMB_BITS,
     LIMB_MASK,
-    MONT_R,
     NLIMBS,
     P,
     R,
     from_limbs,
-    mont_constants,
     to_limbs,
 )
 
