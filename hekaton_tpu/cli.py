@@ -91,13 +91,12 @@ def cmd_setup(args, circ_id: str, params):
 
 
 def cmd_work(args):
-    from .protocol.aggregation import AggProvingKey
+    from .protocol.aggregation import AggProvingKey, agg_transcript
     from .protocol.coordinator import CoordinatorStage0State
     from .protocol.ipp import ipp_setup
     from .protocol.tipa import tipa_key_from_ipp
     from .protocol.worker import process_stage0_request, process_stage1_request
     from .runtime.keys import ProvingKeys
-    from .utils.fiat_shamir import Transcript
     from .utils.rng import Rng
 
     backend = _backend(args.backend)
@@ -156,7 +155,7 @@ def cmd_work(args):
     print(f"[work] aggregation done ({time.time() - t0:.1f}s)")
 
     ok = agg_pk.verify_aggregate(
-        Transcript(b"test-e2e"), agg_state.super_com, agg_proof, agg_state.public_inputs
+        agg_transcript(), agg_state.super_com, agg_proof, agg_state.public_inputs
     )
     print(f"[work] aggregate proof verified: {ok}")
     if not ok:

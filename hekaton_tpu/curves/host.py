@@ -360,6 +360,30 @@ def g2_to_bytes_compressed(pt) -> bytes:
     return bytes(out)
 
 
+def _mul_unreduced(pt, k: int):
+    """Double-and-add WITHOUT reducing k mod R (for order checks)."""
+    if k == 0 or pt is None:
+        return None
+    one = 1 if isinstance(pt[0], int) else Fq2.one()
+    acc = None
+    add = (pt[0], pt[1], one)
+    while k:
+        if k & 1:
+            acc = _jac_add(acc, add)
+        if k > 1:
+            add = _jac_dbl(add)
+        k >>= 1
+    return acc
+
+
+def g2_in_subgroup(pt) -> bool:
+    """Prime-order subgroup membership: R*Q == infinity. BN254's G2 curve
+    over Fq2 has a large cofactor, so an on-curve point is NOT necessarily in
+    G2 — arkworks' CanonicalDeserialize performs this check and so must any
+    boundary that accepts untrusted G2 bytes."""
+    return _mul_unreduced(pt, R) is None
+
+
 def g2_from_bytes_compressed(b: bytes):
     flags = b[63] & 0xC0
     if flags & _COMP_INF:
@@ -371,4 +395,9 @@ def g2_from_bytes_compressed(b: bytes):
     neg = (y.c1, y.c0) > ((P - y.c1) % P, (P - y.c0) % P)
     if neg != bool(flags & _COMP_NEG):
         y = Fq2((P - y.c0) % P, (P - y.c1) % P)
-    return (x, y)
+    pt = (x, y)
+    if not g2_is_on_curve(pt):
+        raise ValueError("invalid G2 encoding: x is not on the curve")
+    if not g2_in_subgroup(pt):
+        raise ValueError("invalid G2 encoding: point not in the prime-order subgroup")
+    return pt

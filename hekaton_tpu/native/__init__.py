@@ -10,6 +10,7 @@ and the fallback when the library is unavailable.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -19,21 +20,55 @@ _TRIED = False
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "hekaton_native.cpp")
 _SO = os.path.join(_REPO_ROOT, "native", "libhekaton_native.so")
+_HASHFILE = _SO + ".srchash"
+
+
+def _src_hash() -> str | None:
+    try:
+        with open(_SRC, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+    except OSError:
+        return None
 
 
 def _build() -> bool:
+    # Deliberately no -march=native: the .so must be loadable on any host
+    # this repo lands on (the binary is NOT committed; it is rebuilt from
+    # source whenever the recorded source hash mismatches).
     if not os.path.exists(_SRC):
         return False
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
             check=True,
             capture_output=True,
             timeout=300,
         )
-        return True
     except Exception:
         return False
+    h = _src_hash()
+    if h:
+        with open(_HASHFILE, "w") as f:
+            f.write(h)
+    return True
+
+
+def _stale() -> bool:
+    """Rebuild unless the .so exists AND was built from the current source.
+
+    mtime comparison is unreliable after a fresh clone (checkout flattens
+    mtimes), so staleness is keyed on a recorded sha256 of the source.
+    """
+    if not os.path.exists(_SO):
+        return True
+    h = _src_hash()
+    if h is None:
+        return False  # no source to rebuild from; trust the existing .so
+    try:
+        with open(_HASHFILE) as f:
+            return f.read().strip() != h
+    except OSError:
+        return True
 
 
 def load():
@@ -43,9 +78,7 @@ def load():
     _TRIED = True
     if os.environ.get("HEKATON_NO_NATIVE"):
         return None
-    if not os.path.exists(_SO) or (
-        os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
-    ):
+    if _stale():
         if not _build():
             return None
     try:

@@ -30,6 +30,16 @@ from ..utils.fiat_shamir import Transcript
 from .ipp import IppCom, commit_only_left, commit_only_right, commit_pair
 from .tipa import GipaInstance, GipaWitness, TipaProof, TipaProverKey, tipa_prove, tipa_verify
 
+# Fiat-Shamir domain label shared by the aggregation prover and verifier.
+# The reference hardcodes b"test-e2e" at both call sites
+# (distributed-prover/src/coordinator.rs:411); here it is one constant so the
+# two sides cannot drift.
+AGG_TRANSCRIPT_LABEL = b"hekaton-agg-v1"
+
+
+def agg_transcript() -> Transcript:
+    return Transcript(AGG_TRANSCRIPT_LABEL)
+
 
 def structured_scalar_power(n: int, s: int) -> list:
     """[1, s, s^2, ..., s^{n-1}] (pairing_ops.rs:42-48)."""
@@ -185,6 +195,13 @@ class AggProvingKey:
         com_ab, com_c = agg_proof.com_ab, agg_proof.com_c
         com_d = super_com
         cross = agg_proof.cross_terms
+        # structural validation of untrusted proof material: exactly a 4x4
+        # grid of Fq12 elements, or the indexing below would raise instead
+        # of returning False
+        if len(cross) != 4 or any(
+            len(row) != 4 or any(not isinstance(x, Fq12) for x in row) for row in cross
+        ):
+            return False
 
         pt.append_serializable(b"AB-commitment", [com_ab.t, com_ab.u])
         pt.append_serializable(b"C-commitment", [com_c.t, com_c.u])

@@ -195,11 +195,10 @@ class FinalAggState:
         self.super_com = super_com
 
     def gen_agg_proof(self, agg_ck, resps: list):
-        from .aggregation import agg_subcircuit_proofs
-        from ..utils.fiat_shamir import Transcript
+        from .aggregation import agg_subcircuit_proofs, agg_transcript
 
         buf = sorted(resps, key=lambda r: r.subcircuit_idx)
         proofs = [r.proof for r in buf]
         return agg_subcircuit_proofs(
-            agg_ck, Transcript(b"test-e2e"), self.super_com, proofs, self.public_inputs
+            agg_ck, agg_transcript(), self.super_com, proofs, self.public_inputs
         )

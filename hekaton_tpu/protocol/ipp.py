@@ -37,6 +37,16 @@ class IppCommitmentKey:
             self.v1[:n], self.v2[:n], self.w1[:n], self.w2[:n], self.g, self.h, self._a, self._b
         )
 
+    def __getstate__(self):
+        """Never persist or ship the toxic waste: any serialized form of the
+        commitment key has the trapdoors stripped. KZG opening-key derivation
+        (tipa_key_from_ipp) must happen in the setup process, before the key
+        crosses any process/disk boundary."""
+        d = dict(self.__dict__)
+        d["_a"] = None
+        d["_b"] = None
+        return d
+
 
 def ipp_setup(n: int, rng: Rng) -> IppCommitmentKey:
     a = rng.next_nonzero_fr()

@@ -315,6 +315,10 @@ def tipa_verify(vk: TipaVerifierKey, instance: GipaInstance, proof: TipaProof) -
     n = instance.size
     if n & (n - 1) or n < 1 or (n.bit_length() - 1) != len(proof.cross_coms):
         return False
+    # a malformed proof with fewer cross_zs must not silently shorten the
+    # GIPA folding recursion below
+    if len(proof.cross_zs) != len(proof.cross_coms):
+        return False
 
     pt = Transcript(b"tipa")
     _append_instance(pt, instance)

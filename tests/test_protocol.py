@@ -201,9 +201,8 @@ def test_e2e_portal_chain():
     by bench.py on real hardware; XLA:CPU compile latency would dominate here.
     """
     from hekaton_tpu.cpgroth16.backend import HostBackend
-    from hekaton_tpu.protocol.aggregation import AggProvingKey
+    from hekaton_tpu.protocol.aggregation import AggProvingKey, agg_transcript
     from hekaton_tpu.protocol.tipa import tipa_setup
-    from hekaton_tpu.utils.fiat_shamir import Transcript
 
     circ, pks, ipp_ck, agg_state, resps0, resps1 = run_e2e_prover(
         PortalChainCircuit, PortalChainParams(4), HostBackend()
@@ -217,7 +216,7 @@ def test_e2e_portal_chain():
     agg_pk = AggProvingKey(tipa_key_from_ipp(ipp_ck), lambda i: pks[i])
     agg_proof = agg_state.gen_agg_proof(agg_pk, resps1)
     assert agg_pk.verify_aggregate(
-        Transcript(b"test-e2e"), agg_state.super_com, agg_proof, agg_state.public_inputs
+        agg_transcript(), agg_state.super_com, agg_proof, agg_state.public_inputs
     )
 
 
