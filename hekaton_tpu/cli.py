@@ -161,18 +161,20 @@ def cmd_work(args):
     if not ok:
         sys.exit(1)
 
-    # proof size accounting (node.rs:608-617 prints compressed+uncompressed):
-    # per GIPA round 2 IppComs (2 Fq12 each) + 2 GT cross-products; finals are
-    # A in G1, B in G2, four KZG openings (value+proof: 2x G2-pairs, 2x G1-pairs)
+    # proof size accounting: serialize the actual proofs and measure, as the
+    # reference does (node.rs:608-617), instead of hand-computed constants
+    from .protocol.serialization import serialize_agg_proof, serialize_groth16_proof
+
+    agg_u = serialize_agg_proof(agg_proof, compressed=False)
+    agg_c = serialize_agg_proof(agg_proof, compressed=True)
+    g16_u = serialize_groth16_proof(resps1[0].proof, compressed=False)
+    g16_c = serialize_groth16_proof(resps1[0].proof, compressed=True)
     ncom = len(agg_proof.tipa_proof.cross_coms)
-    gt, g1u, g1c, g2u, g2c = 384, 64, 32, 128, 64
-    per_round = 4 * gt + 2 * gt
-    uncompressed = ncom * per_round + g1u + g2u + 2 * (2 * g2u) + 2 * (2 * g1u) + 2 * gt * 2
-    compressed = ncom * per_round + g1c + g2c + 2 * (2 * g2c) + 2 * (2 * g1c) + 2 * gt * 2
     print(
         f"[work] aggregate proof: {ncom} GIPA rounds, "
-        f"{uncompressed} bytes uncompressed / {compressed} bytes compressed "
-        f"(GT elements dominate; per-subcircuit G16 proof: 320B/160B)"
+        f"{len(agg_u)} bytes uncompressed / {len(agg_c)} bytes compressed "
+        f"(measured; GT elements dominate); per-subcircuit G16 proof: "
+        f"{len(g16_u)}B/{len(g16_c)}B"
     )
 
 

@@ -34,3 +34,46 @@ def test_vm_e2e_prover():
     params = VirtualMachineParameters(log_num_subcircuit=2, dummy_constraint_num=4,
                                       operations_per_chunk=2)
     run_e2e_prover(VirtualMachine, params, HostBackend())
+
+
+def test_vm_merkle_memory_path_verification():
+    """Mirror of vm/memory.rs test_path_verification: one depth-32 in-circuit
+    path verification is satisfiable, and costs ~9k constraints (the
+    Merkle-memory cost model the mode substitutes for each portal op)."""
+    from hekaton_tpu.workloads.vm import MERKLE_MEMORY_DEPTH, merkle_path_verification
+
+    cs = ConstraintSystem()
+    merkle_path_verification(cs)
+    assert cs.is_satisfied()
+    assert cs.num_constraints > 100 * MERKLE_MEMORY_DEPTH  # scales with depth
+
+
+def test_vm_merkle_memory_mode():
+    """use_merkle_memory replaces every portal op: native subtraces are empty
+    (unlike the reference, whose merkle-mode traces and constraints disagree
+    — vm_constraints.rs:29-85 vs memory.rs:28-52), and the constraints stay
+    satisfiable with get=1/set=2 path verifications."""
+    from hekaton_tpu.workloads.vm import merkle_path_verification
+
+    params = VirtualMachineParameters(log_num_subcircuit=1, dummy_constraint_num=4,
+                                      operations_per_chunk=1, use_merkle_memory=True)
+    vm = VirtualMachine(params)
+    traces = vm.get_portal_subtraces()
+    assert len(traces) == vm.num_subcircuits()
+    assert all(len(t) == 0 for t in traces)
+
+    # one path verification's constraint count, to check op accounting
+    probe = ConstraintSystem()
+    merkle_path_verification(probe)
+    per_path = probe.num_constraints
+
+    pm = SetupVarPortalManager(ConstraintSystem(), "ram")
+    pm.start_subtrace()
+    base = pm.cs.num_constraints
+    vm.generate_constraints(pm.cs, 0, pm)
+    assert pm.cs.is_satisfied()
+    assert pm.subtraces == [[]]
+    # subcircuit 0: 16 register sets (2 paths) + 1 op (1 set + 2 gets = 4 paths)
+    n_paths = 16 * 2 + 1 * 4
+    got_paths = (pm.cs.num_constraints - base) // per_path
+    assert got_paths == n_paths, (got_paths, n_paths)
