@@ -107,13 +107,26 @@ def cmd_work(args):
     rng = Rng.from_int(1000)
     t0 = time.time()
 
+    mesh_prover = None
+    if getattr(args, "mesh", None):
+        from .runtime.mesh_prover import MeshProver
+        from .runtime.spmd import make_mesh
+
+        sub_ax, pts_ax = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh(sub_ax * pts_ax, sub=sub_ax, pts=pts_ax)
+        mesh_prover = MeshProver(mesh, keys, force_ladder=getattr(args, "force_ladder", False))
+        print(f"[work] mesh {sub_ax}x{pts_ax} (sub x pts) over {sub_ax * pts_ax} devices")
+
     print(f"[work] {keys.circ_id}: {n} subcircuits, backend={backend.name}")
     stage0 = CoordinatorStage0State(circ)
     reqs0 = [stage0.gen_request(i) for i in range(n)]
-    resps0 = [
-        process_stage0_request(rng.fork(str(i).encode()), circuit_cls, keys.get_pk(i), reqs0[i], backend)
-        for i in range(n)
-    ]
+    if mesh_prover is not None:
+        resps0 = mesh_prover.stage0_all(rng, circuit_cls, reqs0)
+    else:
+        resps0 = [
+            process_stage0_request(rng.fork(str(i).encode()), circuit_cls, keys.get_pk(i), reqs0[i], backend)
+            for i in range(n)
+        ]
     print(f"[work] stage0 done ({time.time() - t0:.1f}s)")
 
     if getattr(args, "spill_dir", None):
@@ -136,18 +149,22 @@ def cmd_work(args):
     stage1 = stage0.process_stage0_responses(ipp_ck, resps0)
     reqs1 = [stage1.gen_request(i) for i in range(n)]
     agg_state = stage1.into_agg_state()
-    resps1 = [
-        process_stage1_request(
-            rng.fork(b"s1" + str(i).encode()),
-            circuit_cls,
-            keys.get_pk(i),
-            reqs0[i],
-            resps0[i],
-            reqs1[i],
-            backend,
-        )
-        for i in range(n)
-    ]
+    if mesh_prover is not None and not getattr(args, "spill_dir", None):
+        resps1 = mesh_prover.stage1_all(rng, circuit_cls, reqs1)
+    else:
+        # sequential (or spill-mode stateless-recommit) worker path
+        resps1 = [
+            process_stage1_request(
+                rng.fork(b"s1" + str(i).encode()),
+                circuit_cls,
+                keys.get_pk(i),
+                reqs0[i],
+                resps0[i],
+                reqs1[i],
+                backend,
+            )
+            for i in range(n)
+        ]
     print(f"[work] stage1 done ({time.time() - t0:.1f}s)")
 
     agg_pk = AggProvingKey(tipa_key_from_ipp(ipp_ck), lambda i: keys.get_pk(i))
@@ -240,7 +257,12 @@ def main(argv=None):
 
     s = sub.add_parser("work")
     s.add_argument("--key-file", required=True)
-    s.add_argument("--num-workers", type=int, default=1)
+    s.add_argument("--mesh", default=None, metavar="SUBxPTS",
+                   help="run both prover stages mesh-sharded over the devices, "
+                        "e.g. 4x2 (subcircuit-parallel x point-parallel); "
+                        "replaces the reference's MPI worker ranks")
+    s.add_argument("--force-ladder", action="store_true",
+                   help="ladder MSMs everywhere (small compile; CPU/virtual-mesh runs)")
     s.add_argument("--spill-dir", default=None,
                    help="spill stage-0 state to disk between phases (all_in_one low-mem mode)")
 

@@ -290,12 +290,30 @@ def neg(spec: FieldSpec, a):
 
 
 def mont_mul(spec: FieldSpec, a, b):
-    """Montgomery product abR^{-1} mod p (REDC)."""
+    """Montgomery product abR^{-1} mod p (REDC).
+
+    Carry canonicalization is deferred: t = a*b and m*p are kept as raw
+    column sums (< 2^22 per column, within _canon's tolerance) and summed
+    BEFORE the single full canon — 2 canons total instead of 4. This
+    halves-ish the traced graph per multiply (the canon carry network is
+    the largest component), which directly cuts XLA compile latency of
+    every field-heavy program.
+    """
     nl = spec.nlimbs
-    t = _mul_wide(a, b)
-    m = _mul_low(t[..., :nl], spec.ninv_limbs)
-    mp = _mul_wide(m, spec.p_limbs)
-    s = _add_limbs(t, mp)  # 2NR < R^2: fits 2*nl limbs
+    ncols = 2 * nl
+    b_arr = jnp.asarray(b, u32)
+    if b_arr.ndim == 1:
+        b_arr = jnp.broadcast_to(b_arr, a.shape)
+    a, b_arr = jnp.broadcast_arrays(a, b_arr)
+    t_cols = _mul_columns(a, b_arr, ncols)  # raw column sums < 2^21
+    # t mod 2^(16*nl): columns k < nl only (carries go upward; dropped
+    # overflow == the mod)
+    t_low = _canon(t_cols[..., :nl])
+    ninv = jnp.broadcast_to(jnp.asarray(spec.ninv_limbs, u32), t_low.shape)
+    m = _canon(_mul_columns(t_low, ninv, nl))
+    p_b = jnp.broadcast_to(jnp.asarray(spec.p_limbs, u32), m.shape)
+    mp_cols = _mul_columns(m, p_b, ncols)
+    s = _canon(t_cols + mp_cols)  # t + m*p < 2p*R: fits 2*nl limbs exactly
     return _cond_sub_mod(s[..., nl:], spec.p_limbs)
 
 

@@ -203,6 +203,32 @@ def _weighted_bucket_sum(curve: CurveOps, buckets: Jac, nbuckets: int) -> Jac:
     return _tree_reduce(curve, b)
 
 
+MSM_LADDER_THRESHOLD = 32
+
+
+def _msm_ladder(curve: CurveOps, ax, ay, scalars, nbits: int = 254) -> Jac:
+    """Small-N MSM: batched per-point double-and-add ladders + tree reduce.
+
+    The same small-size dispatch arkworks' VariableBaseMSM performs — at tiny
+    N the Pippenger machinery (sort, bucket levels, suffix scans) costs more
+    than it saves, and its traced program is ~3x larger. Lane i computes
+    s_i * P_i MSB-first; a final tree reduction sums the lanes.
+    """
+    N = ax.shape[0]
+    lb = jnp.uint32(16)
+
+    def body(k, acc):
+        j = (jnp.uint32(nbits) - 1 - jnp.uint32(k)).astype(jnp.int32)
+        limbs = jax.lax.dynamic_index_in_dim(scalars, j // 16, axis=-1, keepdims=False)
+        bit = (limbs >> (j.astype(u32) % lb)) & 1
+        acc = curve.dbl(acc)
+        added = curve.add_mixed(acc, ax, ay)
+        return curve.select(bit == 1, added, acc)
+
+    acc = jax.lax.fori_loop(0, nbits, body, curve.inf((N,)))
+    return _tree_reduce(curve, acc)
+
+
 def msm(curve: CurveOps, ax, ay, scalars, c: int | None = None, K: int = 32, nbits: int = 254) -> Jac:
     """Variable-base MSM: sum_i scalars[i] * P_i.
 
@@ -210,6 +236,8 @@ def msm(curve: CurveOps, ax, ay, scalars, c: int | None = None, K: int = 32, nbi
     scalars: (N, 16) u32 plain (non-Montgomery) limbs. Returns a Jac scalar.
     """
     N = ax.shape[0]
+    if N <= MSM_LADDER_THRESHOLD:
+        return _msm_ladder(curve, ax, ay, scalars, nbits)
     if c is None:
         c = max(2, min(13, int(math.log2(max(N, 2))) - 3))
     nbuckets = 1 << c

@@ -57,8 +57,71 @@ class ExecTreeLeafVar:
 
 
 # ---------------------------------------------------------------------------
-# Host Merkle tree (Poseidon leaf hash rate-3, 2-to-1 rate-2)
+# Tree hash configs — the reference abstracts the exec tree's leaf/2-to-1
+# hashes behind ExecTreeParams (eval_tree.rs:17-40); here a TreeHash bundles
+# host + in-circuit versions. Poseidon (poseidon_util.rs params) is the
+# production default; AlgebraicTestHash is a ~2-constraint-per-absorb stand-in
+# for runtime/integration tests where Poseidon's ~1k constraints/hash would
+# dominate what is being tested (it is NOT collision resistant).
 # ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TreeHash:
+    name: str
+    hash_leaf: object  # list[int] -> int
+    hash_two_to_one: object  # (int, int) -> int
+    hash_leaf_var: object  # list[FpVar] -> FpVar
+    hash_two_to_one_var: object  # (FpVar, FpVar) -> FpVar
+
+
+POSEIDON_TREE_HASH = TreeHash(
+    "poseidon", pos.hash_leaf, pos.hash_two_to_one, pos.hash_leaf_var, pos.hash_two_to_one_var
+)
+
+
+def _alg_leaf(elems: list) -> int:
+    from ..fields.bn254 import R
+
+    acc = 3
+    for x in elems:
+        acc = (acc * acc + acc * (x % R) + 7) % R
+    return acc
+
+
+def _alg_two(l: int, r: int) -> int:
+    from ..fields.bn254 import R
+
+    return (l * l + 3 * l * r + 2 * r + 5) % R
+
+
+def _alg_leaf_var(elems: list) -> FpVar:
+    cs = elems[0].cs
+    acc = FpVar.constant(cs, 3)
+    for x in elems:
+        acc = acc * acc + acc * x + 3  # reassociated: (acc+x)*acc + ... keep 2 muls
+        acc = acc + 4  # total +7 split to keep value identical to _alg_leaf
+    return acc
+
+
+def _alg_two_var(l: FpVar, r: FpVar) -> FpVar:
+    return l * l + (l * r).scale(3) + r.scale(2) + 5
+
+
+ALGEBRAIC_TEST_HASH = TreeHash("algebraic-test", _alg_leaf, _alg_two, _alg_leaf_var, _alg_two_var)
+
+# module default, switchable for tests (set_tree_hash); production = Poseidon
+TREE_HASH = POSEIDON_TREE_HASH
+
+
+def set_tree_hash(th: TreeHash) -> TreeHash:
+    """Swap the exec-tree hash; returns the previous config (for restoring).
+    Must be set identically on coordinator and workers (it is part of the
+    circuit, hence of the CRS)."""
+    global TREE_HASH
+    prev = TREE_HASH
+    TREE_HASH = th
+    return prev
 
 
 @dataclass
@@ -72,10 +135,13 @@ class MerkleTree:
         n = len(serialized_leaves)
         assert n & (n - 1) == 0 and n >= 2, "leaf count must be a power of two >= 2"
         self.n = n
-        level = [pos.hash_leaf(leaf) for leaf in serialized_leaves]
+        level = [TREE_HASH.hash_leaf(leaf) for leaf in serialized_leaves]
         self.levels = [level]
         while len(level) > 1:
-            level = [pos.hash_two_to_one(level[i], level[i + 1]) for i in range(0, len(level), 2)]
+            level = [
+                TREE_HASH.hash_two_to_one(level[i], level[i + 1])
+                for i in range(0, len(level), 2)
+            ]
             self.levels.append(level)
 
     def root(self) -> int:
@@ -91,10 +157,14 @@ class MerkleTree:
 
 
 def verify_path_host(root: int, path: MerklePath, serialized_leaf: list) -> bool:
-    cur = pos.hash_leaf(serialized_leaf)
+    cur = TREE_HASH.hash_leaf(serialized_leaf)
     idx = path.leaf_index
     for sib in path.auth_path:
-        cur = pos.hash_two_to_one(sib, cur) if idx & 1 else pos.hash_two_to_one(cur, sib)
+        cur = (
+            TREE_HASH.hash_two_to_one(sib, cur)
+            if idx & 1
+            else TREE_HASH.hash_two_to_one(cur, sib)
+        )
         idx >>= 1
     return cur == root
 
@@ -119,9 +189,9 @@ class MerklePathVar:
         return MerklePathVar(sibs, bits)
 
     def verify_membership(self, root: FpVar, serialized_leaf_vars: list):
-        cur = pos.hash_leaf_var(serialized_leaf_vars)
+        cur = TREE_HASH.hash_leaf_var(serialized_leaf_vars)
         for sib, bit in zip(self.siblings, self.position_bits):
             left = bit.select(sib, cur)
             right = bit.select(cur, sib)
-            cur = pos.hash_two_to_one_var(left, right)
+            cur = TREE_HASH.hash_two_to_one_var(left, right)
         cur.enforce_equal(root)
