@@ -362,27 +362,105 @@ def _suffix_weighted(curve: CurveOps, buckets: Jac, W: int, B: int) -> Jac:
 def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: int = 254) -> Jac:
     """Variable-base MSM structured for TPU: all windows batched into one
     digit-sorted stream, padded-bucket gather accumulation (no scatters, no
-    data-dependent shapes), suffix-scan weighted bucket reduction, device
-    Horner combine. Semantics identical to msm()."""
+    data-dependent shapes), halving-pair bucket collapse, suffix-scan
+    weighted bucket reduction, device Horner combine. Semantics identical to
+    msm().
+
+    Measured-on-v5e design decisions (see PERFORMANCE.md):
+      - ALL source indices for the (L, ncols) virtual bucket layout are
+        precomputed as one flat array; each accumulation step is then a
+        clean flat row-gather (in-loop index math + select-masking made the
+        gathers ~3x slower than the raw gather engine).
+      - x||y are fused into one 32-lane table row with an appended infinity
+        row at index N: one gather per step, and invalid slots become the
+        identity WITHOUT a select on the gathered data.
+      - the (L, ncols, 16) layout is never materialized (TPU tiles (..., 16)
+        u32 minor dims at 8x physical expansion: 26M rows would be ~13 GB).
+      - bucket collapse (levels 2+) halves every bucket's column count per
+        level with adjacent-pair adds + compaction, instead of re-running
+        the worst-case O(N/L)-bounded padded level over the full W*B column
+        floor each time (~10x fewer lane-adds).
+    """
     N = ax.shape[0]
+    assert curve.f.ndim == 1, "msm_tpu is the G1 hot path (use msm for G2)"
     digits = digits_for_windows(scalars, c, nbits)  # (W, N)
     W = digits.shape[0]
     B = 1 << c
+    NB = W * B
     keys = digits + (jnp.arange(W, dtype=u32) * jnp.uint32(B))[:, None]
     keys = keys.reshape(-1)  # (W*N,)
     order = jnp.argsort(keys)
     sk = keys[order]
     pidx = (order % N).astype(jnp.int32)
-    vals = (ax[pidx], ay[pidx])
+    n_in = sk.shape[0]
+    ncols = n_in // L + NB  # static upper bound, exact for any distribution
 
-    d, acc, max_count = _padded_level(curve, sk, vals, W * B, L, N, mixed=True)
-    # later levels work on (W*B)-dominated column streams of FULL adds; a
-    # smaller step count L cuts their fixed cost ~L/L2 at the price of more
-    # (cheap) levels
-    L_rest = max(4, L // 4)
-    while max_count > 1:
-        d, acc, max_count = _padded_level(curve, d, acc, W * B, L_rest, max_count, mixed=False)
-    buckets = jax.tree.map(lambda a: a[: W * B], acc)
+    ids = jnp.arange(NB, dtype=sk.dtype)
+    starts = jnp.searchsorted(sk, ids, side="left").astype(u32)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), n_in, u32)])
+    counts = ends - starts
+    cols_per = jnp.maximum((counts + L - 1) // L, 1)
+    col_starts = jnp.concatenate([jnp.zeros(1, u32), jnp.cumsum(cols_per)[:-1].astype(u32)])
+    col_idx = jnp.arange(ncols, dtype=u32)
+    col_bucket = (jnp.searchsorted(col_starts, col_idx, side="right") - 1).astype(jnp.int32)
+    within = col_idx - col_starts[col_bucket]
+    base = starts[col_bucket] + within * jnp.uint32(L)
+    cnt = counts[col_bucket]
+
+    # flat (L, ncols) source rows in the fused x||y table; invalid -> N (inf)
+    r = jnp.arange(L, dtype=u32)[:, None]
+    off = within[None, :] * jnp.uint32(L) + r
+    valid = (off < cnt[None, :]).reshape(-1)
+    src_stream = jnp.where(valid, (base[None, :] + r).reshape(-1), 0).astype(jnp.int32)
+    src = jnp.where(valid, pidx[src_stream], N).reshape(L, ncols)  # flat compose
+
+    nlimb = ax.shape[-1]
+    table = jnp.concatenate([ax, ay], axis=-1)
+    table = jnp.concatenate([table, jnp.zeros((1, 2 * nlimb), u32)], axis=0)
+
+    def body(rr, acc):
+        rows = table[jax.lax.dynamic_index_in_dim(src, rr, axis=0, keepdims=False)]
+        return curve.add_mixed(acc, rows[:, :nlimb], rows[:, nlimb:])
+
+    acc = jax.lax.fori_loop(0, L, body, curve.inf((ncols,)))
+
+    # ---- bucket collapse: halve columns-per-bucket per level, compacting the
+    # column stream so the W*B single-column floor is paid once, not per level
+    d = col_bucket  # sorted bucket ids, >=1 column per bucket
+    M = ncols
+    max_cols = (min(N, n_in) + L - 1) // L  # worst case: one bucket holds a full window
+    levels = max(1, math.ceil(math.log2(max(2, max_cols))))
+    sentinel = jnp.int32(NB)
+    for _ in range(levels):
+        if M <= 1:
+            break
+        i = jnp.arange(M)
+        first = jnp.searchsorted(d, d, side="left")
+        win = i - first  # column index within its bucket
+        d_next = jnp.concatenate([d[1:], jnp.full((1,), sentinel)])
+        nxt = jax.tree.map(lambda a: jnp.concatenate([a[1:], a[:1]]), acc)
+        can_pair = (win % 2 == 0) & (d_next == d) & (d < NB)
+        paired = curve.add(acc, nxt)
+        acc = curve.select(can_pair, paired, acc)
+        keep = (win % 2) == 0
+        M_next = min(M, M // 2 + NB // 2 + 2)
+        if M_next == M:
+            # no static shrink left: finish remaining levels in place
+            d = jnp.where(keep, d, sentinel)
+            d = jnp.sort(d)
+            perm = jnp.argsort(jnp.where(keep, i, i + M))
+            acc = jax.tree.map(lambda a: a[perm], acc)
+            continue
+        kept_count = jnp.sum(keep)
+        perm = jnp.argsort(jnp.where(keep, i, i + M))[:M_next]
+        d = jnp.where(jnp.arange(M_next) < kept_count, d[perm], sentinel)
+        acc = jax.tree.map(lambda a: a[perm], acc)
+        M = M_next
+
+    # one column per bucket now: gather into (W*B,) bucket-ordered sums
+    first_pos = jnp.searchsorted(d, ids.astype(jnp.int32), side="left")
+    first_pos = jnp.minimum(first_pos, M - 1).astype(jnp.int32)
+    buckets = jax.tree.map(lambda a: a[first_pos], acc)
 
     window_sums = _suffix_weighted(curve, buckets, W, B)
 
