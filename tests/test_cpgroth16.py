@@ -50,11 +50,11 @@ class PolyEvalCircuit(MultiStageSynthesizer):
         cs.end_stage()
 
 
-def _run(backend):
+def _run(backend, coeffs=None, x=None):
     from hekaton_tpu.utils.rng import Rng
 
-    coeffs = [rng_py.randrange(R) for _ in range(4)]
-    x = rng_py.randrange(R)
+    coeffs = coeffs or [rng_py.randrange(R) for _ in range(4)]
+    x = x or rng_py.randrange(R)
     circuit = PolyEvalCircuit(coeffs, x, extra_constraints=3)
 
     pk = generate_parameters(PolyEvalCircuit(coeffs, x, 3), Rng.from_int(1), backend)
@@ -92,3 +92,20 @@ def test_cpgroth16_deterministic_commit():
     com1, k1 = cb1.commit(Rng.from_int(77))
     com2, k2 = cb2.commit(Rng.from_int(77))
     assert com1 == com2 and k1 == k2
+
+
+def test_cpgroth16_tpu_backend():
+    """The full CP-Groth16 pipeline (setup -> commit -> prove -> verify, plus
+    the negative checks inside _run) through TpuBackend's jitted kernels —
+    on whatever XLA backend the suite runs on (the virtual-CPU mesh in CI;
+    the same code path serves the real chip). Round-1 shipped this backend
+    untested end-to-end."""
+    from hekaton_tpu.cpgroth16.backend import TpuBackend
+
+    coeffs, x = [5, 17, 923479, 2], 31337
+    pk, proof = _run(TpuBackend(), coeffs, x)
+    # cross-backend agreement: the host backend must produce the SAME proof
+    # for the same circuit and randomness (the backends differ only in where
+    # the algebra runs, not in what it computes)
+    pk_h, proof_h = _run(HostBackend(), coeffs, x)
+    assert proof == proof_h
