@@ -1,0 +1,73 @@
+"""A/B microbench of MSM designs on the real chip.
+
+Usage: python benches/msm_ab.py [v3|v2|both] [log2n] [c] [L]
+Prints per-design wall time + points/sec after a warmup run.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "v3"
+    logn = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    c = int(sys.argv[3]) if len(sys.argv) > 3 else 13
+    L = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    n = 1 << logn
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _make_points, _make_scalars
+    from hekaton_tpu.curves.jax_curve import G1
+    from hekaton_tpu.msm import pippenger as pp
+
+    ax, ay = _make_points(n)
+    sc = _make_scalars(n)
+    ax, ay, sc = jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(sc)
+
+    designs = {
+        "v3": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L),
+        "v2": lambda x, y, s: pp.msm_tpu_jac(G1, x, y, s, c=c, L=L),
+    }
+    names = ["v3", "v2"] if which == "both" else [which]
+    for name in names:
+        fn = jax.jit(designs[name])
+        # NB: materialize via np.asarray — on the remote (axon) backend
+        # block_until_ready can return without blocking (see bench.py)
+        t0 = time.time()
+        out = fn(ax, ay, sc)
+        np.asarray(out.x)
+        t_compile = time.time() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            out = fn(ax, ay, sc)
+            np.asarray(out.x)
+            times.append(time.time() - t0)
+        dt = sorted(times)[len(times) // 2]
+        print(
+            f"{name}: n=2^{logn} c={c} L={L}  warm {dt:.3f}s = "
+            f"{n/dt:,.0f} pts/s  (first-call {t_compile:.1f}s)",
+            flush=True,
+        )
+        # correctness spot-check vs small host-verified msm on a prefix
+        if len(sys.argv) <= 5:
+            m = 64
+            ref = jax.jit(lambda x, y, s: pp.msm(G1, x, y, s, K=8))(ax[:m], ay[:m], sc[:m])
+            got = jax.jit(designs[name])(ax[:m], ay[:m], sc[:m])
+            assert G1.unpack_jacobian(jax.tree.map(lambda a: a[None], ref)) == G1.unpack_jacobian(
+                jax.tree.map(lambda a: a[None], got)
+            ), f"{name} mismatch at n={m}"
+            print(f"{name}: prefix-64 correctness ok", flush=True)
+
+
+if __name__ == "__main__":
+    main()

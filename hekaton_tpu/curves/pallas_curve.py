@@ -239,6 +239,91 @@ def _add_tiles(x1, y1, z1, x2, y2, z2, p_col):
 
 
 # ---------------------------------------------------------------------------
+# complete-formula (RCB15, a=0) tiles on homogeneous projective coordinates
+# ---------------------------------------------------------------------------
+
+
+def tile_mul9(a):
+    """9*a mod p via the add chain 3a = a+a+a, 9a = 3a+3a+3a — 4 canonical
+    modular adds (~1/8 of a tile_mul); the mul-by-3b constant of RCB a=0
+    formulas (b=3 for BN254 G1)."""
+    a3 = tile_add(tile_add(a, a), a)
+    return tile_add(tile_add(a3, a3), a3)
+
+
+def _pmadd_rcb_tiles(x1, y1, z1, ax, ay, p_col):
+    """(X1:Y1:Z1) + affine (ax, ay): RCB15 Algorithm 8 (a=0), complete —
+    identity accumulator, doubling and inverse all flow through the same
+    straight-line code. The affine (0,0) sentinel is resolved by ONE select
+    (ay == 0 identifies it: curve points have y != 0 on prime-order b=3)."""
+    q_inf = tile_is_zero(ay)
+    t0 = tile_mul(x1, ax, p_col)
+    t1 = tile_mul(y1, ay, p_col)
+    t3 = tile_mul(tile_add(ax, ay), tile_add(x1, y1), p_col)
+    t3 = tile_sub(t3, tile_add(t0, t1))
+    t4 = tile_add(tile_mul(ay, z1, p_col), y1)
+    y3 = tile_add(tile_mul(ax, z1, p_col), x1)
+    x3 = tile_add(t0, t0)
+    t0 = tile_add(x3, t0)
+    t2 = tile_mul9(z1)
+    z3 = tile_add(t1, t2)
+    t1 = tile_sub(t1, t2)
+    y3 = tile_mul9(y3)
+    x3 = tile_sub(tile_mul(t3, t1, p_col), tile_mul(t4, y3, p_col))
+    y3 = tile_add(tile_mul(t1, z3, p_col), tile_mul(y3, t0, p_col))
+    z3 = tile_add(tile_mul(z3, t4, p_col), tile_mul(t0, t3, p_col))
+    x3 = tile_select(q_inf, x1, x3)
+    y3 = tile_select(q_inf, y1, y3)
+    z3 = tile_select(q_inf, z1, z3)
+    return x3, y3, z3
+
+
+def _padd_rcb_tiles(x1, y1, z1, x2, y2, z2, p_col):
+    """Complete projective add: RCB15 Algorithm 7 (a=0). Zero edge cases."""
+    t0 = tile_mul(x1, x2, p_col)
+    t1 = tile_mul(y1, y2, p_col)
+    t2 = tile_mul(z1, z2, p_col)
+    t3 = tile_mul(tile_add(x1, y1), tile_add(x2, y2), p_col)
+    t3 = tile_sub(t3, tile_add(t0, t1))
+    t4 = tile_mul(tile_add(y1, z1), tile_add(y2, z2), p_col)
+    t4 = tile_sub(t4, tile_add(t1, t2))
+    y3 = tile_mul(tile_add(x1, z1), tile_add(x2, z2), p_col)
+    y3 = tile_sub(y3, tile_add(t0, t2))
+    x3 = tile_add(t0, t0)
+    t0 = tile_add(x3, t0)
+    t2 = tile_mul9(t2)
+    z3 = tile_add(t1, t2)
+    t1 = tile_sub(t1, t2)
+    y3 = tile_mul9(y3)
+    x3 = tile_sub(tile_mul(t3, t1, p_col), tile_mul(t4, y3, p_col))
+    y3 = tile_add(tile_mul(t1, z3, p_col), tile_mul(y3, t0, p_col))
+    z3 = tile_add(tile_mul(z3, t4, p_col), tile_mul(t0, t3, p_col))
+    return x3, y3, z3
+
+
+def _pdbl_rcb_tiles(x, y, z, p_col):
+    """Complete projective double: RCB15 Algorithm 9 (a=0)."""
+    t0 = tile_sqr(y, p_col)
+    z3 = tile_add(t0, t0)
+    z3 = tile_add(z3, z3)
+    z3 = tile_add(z3, z3)
+    t1 = tile_mul(y, z, p_col)
+    t2 = tile_mul9(tile_sqr(z, p_col))
+    x3 = tile_mul(t2, z3, p_col)
+    y3 = tile_add(t0, t2)
+    z3 = tile_mul(t1, z3, p_col)
+    t1 = tile_add(t2, t2)
+    t2 = tile_add(t1, t2)
+    t0 = tile_sub(t0, t2)
+    y3 = tile_mul(t0, y3, p_col)
+    y3 = tile_add(x3, y3)
+    t1 = tile_mul(x, y, p_col)
+    x3 = tile_mul(t0, t1, p_col)
+    x3 = tile_add(x3, x3)
+    return x3, y3, z3
+
+
+# ---------------------------------------------------------------------------
 # pallas_call wrappers ((n, 16) interface layout)
 # ---------------------------------------------------------------------------
 
@@ -286,12 +371,43 @@ def _add_kernel(p_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref, ox_ref, o
     oz_ref[:] = z3.T
 
 
+def _pmadd_rcb_kernel(p_ref, x_ref, y_ref, z_ref, ax_ref, ay_ref, ox_ref, oy_ref, oz_ref):
+    p_col = p_ref[:]
+    x3, y3, z3 = _pmadd_rcb_tiles(
+        x_ref[:].T, y_ref[:].T, z_ref[:].T, ax_ref[:].T, ay_ref[:].T, p_col
+    )
+    ox_ref[:] = x3.T
+    oy_ref[:] = y3.T
+    oz_ref[:] = z3.T
+
+
+def _padd_rcb_kernel(p_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref, ox_ref, oy_ref, oz_ref):
+    p_col = p_ref[:]
+    x3, y3, z3 = _padd_rcb_tiles(
+        x1_ref[:].T, y1_ref[:].T, z1_ref[:].T, x2_ref[:].T, y2_ref[:].T, z2_ref[:].T, p_col
+    )
+    ox_ref[:] = x3.T
+    oy_ref[:] = y3.T
+    oz_ref[:] = z3.T
+
+
+def _pdbl_rcb_kernel(p_ref, x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref):
+    p_col = p_ref[:]
+    x3, y3, z3 = _pdbl_rcb_tiles(x_ref[:].T, y_ref[:].T, z_ref[:].T, p_col)
+    ox_ref[:] = x3.T
+    oy_ref[:] = y3.T
+    oz_ref[:] = z3.T
+
+
 @functools.lru_cache(maxsize=None)
 def _build(kernel_name: str, n_blocks: int, n_pts: int, interpret: bool):
     kernel, n_in = {
         "madd": (_madd_kernel, 5),
         "dbl": (_dbl_kernel, 3),
         "add": (_add_kernel, 6),
+        "pmadd_rcb": (_pmadd_rcb_kernel, 5),
+        "padd_rcb": (_padd_rcb_kernel, 6),
+        "pdbl_rcb": (_pdbl_rcb_kernel, 3),
     }[kernel_name]
     out3 = tuple(jax.ShapeDtypeStruct((n_pts, NLIMBS), u32) for _ in range(3))
 
@@ -331,3 +447,15 @@ def dbl(x, y, z):
 
 def add(x1, y1, z1, x2, y2, z2):
     return _run("add", [x1, y1, z1, x2, y2, z2])
+
+
+def pmadd_rcb(x, y, z, ax, ay):
+    return _run("pmadd_rcb", [x, y, z, ax, ay])
+
+
+def padd_rcb(x1, y1, z1, x2, y2, z2):
+    return _run("padd_rcb", [x1, y1, z1, x2, y2, z2])
+
+
+def pdbl_rcb(x, y, z):
+    return _run("pdbl_rcb", [x, y, z])

@@ -338,7 +338,7 @@ def _suffix_weighted(curve: CurveOps, buckets: Jac, W: int, B: int) -> Jac:
         sh = 1 << i
         shifted = jax.tree.map(lambda a: jnp.roll(a, -sh, axis=1), t)
         valid = (idx + sh < B)[None, :]
-        comb = curve.add(t, Jac(*shifted))
+        comb = curve.add(t, shifted)
         return curve.select(jnp.broadcast_to(valid, (W, B)), comb, t)
 
     t = jax.lax.fori_loop(0, steps, body, bk)
@@ -352,19 +352,167 @@ def _suffix_weighted(curve: CurveOps, buckets: Jac, W: int, B: int) -> Jac:
         sh = 1 << i
         shifted = jax.tree.map(lambda a: jnp.roll(a, -sh, axis=1), b)
         valid = (ridx + sh < m)[None, :]
-        comb = curve.add(b, Jac(*shifted))
+        comb = curve.add(b, shifted)
         return curve.select(jnp.broadcast_to(valid, (W, m)), comb, b)
 
     b = jax.lax.fori_loop(0, red_steps, rbody, t)
     return jax.tree.map(lambda a: a[:, 0], b)  # (W,) window sums
 
 
+def signed_digits_for_windows(scalars, c: int, nbits: int = 254):
+    """(N, 16) u32 plain limbs -> ((W, N) magnitudes in [0, 2^(c-1)],
+    (W, N) u32 sign flags): s = sum_w (-1)^neg_w * mag_w * 2^(cw).
+
+    Signed windows halve the bucket count per window (2^(c-1)+1 instead of
+    2^c), and negation is free at gather time: the point table carries a
+    pre-negated -y copy, so the sign only changes the precomputed row index.
+    Top-window overflow cannot occur for scalars < 2^nbits when W*c > nbits
+    (the top digit is < 2^(nbits - c*(W-1)) + 1 <= 2^(c-1))."""
+    digits = digits_for_windows(scalars, c, nbits)  # (W, N)
+    W = digits.shape[0]
+    assert W * c > nbits, "top window needs slack for the signed carry"
+    half = np.uint32(1 << (c - 1))
+    full = np.uint32(1 << c)
+    mags, negs = [], []
+    carry = jnp.zeros_like(digits[0])
+    for w in range(W):
+        d = digits[w] + carry
+        neg = d > half
+        carry = jnp.where(neg, jnp.uint32(1), jnp.uint32(0))
+        mags.append(jnp.where(neg, full - d, d))
+        negs.append(neg.astype(u32))
+    return jnp.stack(mags), jnp.stack(negs)
+
+
+def _collapse_columns(curve, d, acc, M: int, NB: int, L: int, N: int, n_in: int):
+    """Halve every bucket's column count per level with adjacent-pair adds +
+    stream compaction, until each bucket owns one column. `d` is the sorted
+    (M,) bucket id per column, `acc` the per-column partial sums."""
+    max_cols = (min(N, n_in) + L - 1) // L  # worst case: one bucket holds a full window
+    levels = max(1, math.ceil(math.log2(max(2, max_cols))))
+    sentinel = jnp.int32(NB)
+    for _ in range(levels):
+        if M <= 1:
+            break
+        i = jnp.arange(M)
+        first = jnp.searchsorted(d, d, side="left")
+        win = i - first  # column index within its bucket
+        d_next = jnp.concatenate([d[1:], jnp.full((1,), sentinel)])
+        nxt = jax.tree.map(lambda a: jnp.concatenate([a[1:], a[:1]]), acc)
+        can_pair = (win % 2 == 0) & (d_next == d) & (d < NB)
+        paired = curve.add(acc, nxt)
+        acc = curve.select(can_pair, paired, acc)
+        keep = (win % 2) == 0
+        M_next = min(M, M // 2 + NB // 2 + 2)
+        if M_next == M:
+            # no static shrink left: finish remaining levels in place
+            d = jnp.where(keep, d, sentinel)
+            d = jnp.sort(d)
+            perm = jnp.argsort(jnp.where(keep, i, i + M))
+            acc = jax.tree.map(lambda a: a[perm], acc)
+            continue
+        kept_count = jnp.sum(keep)
+        perm = jnp.argsort(jnp.where(keep, i, i + M))[:M_next]
+        d = jnp.where(jnp.arange(M_next) < kept_count, d[perm], sentinel)
+        acc = jax.tree.map(lambda a: a[perm], acc)
+        M = M_next
+    return d, acc, M
+
+
 def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: int = 254) -> Jac:
-    """Variable-base MSM structured for TPU: all windows batched into one
-    digit-sorted stream, padded-bucket gather accumulation (no scatters, no
-    data-dependent shapes), halving-pair bucket collapse, suffix-scan
-    weighted bucket reduction, device Horner combine. Semantics identical to
-    msm().
+    """Variable-base MSM structured for TPU — v3.
+
+    v3 over the v2 design (msm_tpu_jac below): signed window digits halve
+    the per-window bucket count (2^(c-1)+1 vs 2^c) with negation folded
+    into the precomputed gather indices (the fused table carries x||y and
+    x||-y halves), and ALL group arithmetic runs complete RCB15 projective
+    formulas (curves/proj.py) — 11M mixed adds with no doubling escape and
+    no accumulator edge selects, vs 15+ mul-equivalents for the escaped
+    Jacobian formulas. Structure per level is unchanged: one argsorted
+    key stream for all windows, padded-bucket flat gathers, halving-pair
+    bucket collapse, suffix-scan weighted reduction, device Horner.
+
+    Semantics identical to msm(); returns a Jacobian point.
+    """
+    from ..curves.proj import PROJ_G1
+
+    N = ax.shape[0]
+    assert curve.f.ndim == 1, "msm_tpu is the G1 hot path (use msm for G2)"
+    proj = PROJ_G1
+    f = proj.f
+    mag, neg = signed_digits_for_windows(scalars, c, nbits)  # (W, N) each
+    W = mag.shape[0]
+    B = (1 << (c - 1)) + 1  # magnitudes 0..2^(c-1) inclusive
+    NB = W * B
+    keys = mag + (jnp.arange(W, dtype=u32) * jnp.uint32(B))[:, None]
+    keys = keys.reshape(-1)  # (W*N,) w-major
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    # row in the doubled table: +N selects the pre-negated half
+    prow = ((order % N) + neg.reshape(-1)[order] * N).astype(jnp.int32)
+    n_in = sk.shape[0]
+    ncols = n_in // L + NB  # static upper bound, exact for any distribution
+
+    ids = jnp.arange(NB, dtype=sk.dtype)
+    starts = jnp.searchsorted(sk, ids, side="left").astype(u32)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), n_in, u32)])
+    counts = ends - starts
+    cols_per = jnp.maximum((counts + L - 1) // L, 1)
+    col_starts = jnp.concatenate([jnp.zeros(1, u32), jnp.cumsum(cols_per)[:-1].astype(u32)])
+    col_idx = jnp.arange(ncols, dtype=u32)
+    col_bucket = (jnp.searchsorted(col_starts, col_idx, side="right") - 1).astype(jnp.int32)
+    within = col_idx - col_starts[col_bucket]
+    base = starts[col_bucket] + within * jnp.uint32(L)
+    cnt = counts[col_bucket]
+
+    # flat (L, ncols) source rows in the fused x||y table; invalid -> 2N (inf)
+    r = jnp.arange(L, dtype=u32)[:, None]
+    off = within[None, :] * jnp.uint32(L) + r
+    valid = (off < cnt[None, :]).reshape(-1)
+    src_stream = jnp.where(valid, (base[None, :] + r).reshape(-1), 0).astype(jnp.int32)
+    src = jnp.where(valid, prow[src_stream], 2 * N).reshape(L, ncols)
+
+    nlimb = ax.shape[-1]
+    ay_neg = jf.neg(f.spec, ay)
+    table = jnp.concatenate(
+        [
+            jnp.concatenate([ax, ay], axis=-1),
+            jnp.concatenate([ax, ay_neg], axis=-1),
+            jnp.zeros((1, 2 * nlimb), u32),
+        ],
+        axis=0,
+    )
+
+    def body(rr, acc):
+        rows = table[jax.lax.dynamic_index_in_dim(src, rr, axis=0, keepdims=False)]
+        return proj.add_mixed(acc, rows[:, :nlimb], rows[:, nlimb:])
+
+    acc = jax.lax.fori_loop(0, L, body, proj.inf((ncols,)))
+
+    d, acc, M = _collapse_columns(proj, col_bucket, acc, ncols, NB, L, N, n_in)
+
+    # one column per bucket now: gather into (W*B,) bucket-ordered sums
+    first_pos = jnp.searchsorted(d, ids.astype(jnp.int32), side="left")
+    first_pos = jnp.minimum(first_pos, M - 1).astype(jnp.int32)
+    buckets = jax.tree.map(lambda a: a[first_pos], acc)
+
+    window_sums = _suffix_weighted(proj, buckets, W, B)
+
+    def horner(i, a):
+        def dbl_body(_, x):
+            return proj.dbl(x)
+
+        a = jax.lax.fori_loop(0, c, dbl_body, a)
+        return proj.add(a, _tree_index(window_sums, W - 2 - i))
+
+    a = _tree_index(window_sums, W - 1)
+    a = jax.lax.fori_loop(0, W - 1, horner, a)
+    return proj.to_jacobian(a)
+
+
+def msm_tpu_jac(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: int = 254) -> Jac:
+    """v2 (unsigned digits, escaped Jacobian formulas) — kept for A/B
+    benchmarking against msm_tpu; same padded-bucket structure.
 
     Measured-on-v5e design decisions (see PERFORMANCE.md):
       - ALL source indices for the (L, ncols) virtual bucket layout are
@@ -424,38 +572,8 @@ def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: i
 
     acc = jax.lax.fori_loop(0, L, body, curve.inf((ncols,)))
 
-    # ---- bucket collapse: halve columns-per-bucket per level, compacting the
-    # column stream so the W*B single-column floor is paid once, not per level
-    d = col_bucket  # sorted bucket ids, >=1 column per bucket
-    M = ncols
-    max_cols = (min(N, n_in) + L - 1) // L  # worst case: one bucket holds a full window
-    levels = max(1, math.ceil(math.log2(max(2, max_cols))))
-    sentinel = jnp.int32(NB)
-    for _ in range(levels):
-        if M <= 1:
-            break
-        i = jnp.arange(M)
-        first = jnp.searchsorted(d, d, side="left")
-        win = i - first  # column index within its bucket
-        d_next = jnp.concatenate([d[1:], jnp.full((1,), sentinel)])
-        nxt = jax.tree.map(lambda a: jnp.concatenate([a[1:], a[:1]]), acc)
-        can_pair = (win % 2 == 0) & (d_next == d) & (d < NB)
-        paired = curve.add(acc, nxt)
-        acc = curve.select(can_pair, paired, acc)
-        keep = (win % 2) == 0
-        M_next = min(M, M // 2 + NB // 2 + 2)
-        if M_next == M:
-            # no static shrink left: finish remaining levels in place
-            d = jnp.where(keep, d, sentinel)
-            d = jnp.sort(d)
-            perm = jnp.argsort(jnp.where(keep, i, i + M))
-            acc = jax.tree.map(lambda a: a[perm], acc)
-            continue
-        kept_count = jnp.sum(keep)
-        perm = jnp.argsort(jnp.where(keep, i, i + M))[:M_next]
-        d = jnp.where(jnp.arange(M_next) < kept_count, d[perm], sentinel)
-        acc = jax.tree.map(lambda a: a[perm], acc)
-        M = M_next
+    # bucket collapse: halve columns-per-bucket per level with compaction
+    d, acc, M = _collapse_columns(curve, col_bucket, acc, ncols, NB, L, N, n_in)
 
     # one column per bucket now: gather into (W*B,) bucket-ordered sums
     first_pos = jnp.searchsorted(d, ids.astype(jnp.int32), side="left")

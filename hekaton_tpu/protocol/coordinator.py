@@ -91,6 +91,16 @@ def sort_subtraces_by_addr(time_ordered_subtraces: list) -> list:
 
 
 def generate_exec_tree(mem_type, super_com: IppCom, time_sts, addr_sts):
+    import os
+
+    from .eval_tree import POSEIDON_TREE_HASH, TREE_HASH
+
+    if os.environ.get("HEKATON_DEVICE_TREE") and TREE_HASH is POSEIDON_TREE_HASH:
+        # batched device scan + Poseidon Merkle kernel (SURVEY §2.5 P2);
+        # bit-identical output, removes the O(total-trace) host loop below
+        from .eval_tree_jax import generate_exec_tree_device
+
+        return generate_exec_tree_device(mem_type, super_com, time_sts, addr_sts)
     evals = new_running_evaluation(mem_type, super_com.to_bytes())
     leaves = []
     last_entry = padding_entry(mem_type)

@@ -144,6 +144,17 @@ class MerkleTree:
             ]
             self.levels.append(level)
 
+    @classmethod
+    def from_levels(cls, levels: list) -> "MerkleTree":
+        """Wrap precomputed digest levels (leaf-hash level first) — used by
+        the device tree builder (eval_tree_jax.py), which hashes levels
+        batched instead of via the host loop above."""
+        tree = cls.__new__(cls)
+        tree.n = len(levels[0])
+        tree.levels = levels
+        assert len(levels[-1]) == 1
+        return tree
+
     def root(self) -> int:
         return self.levels[-1][0]
 

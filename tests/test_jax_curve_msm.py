@@ -80,6 +80,46 @@ def test_msm_g2():
     _msm_case(5, curve=G2, gen=ch.g2_gen())
 
 
+def test_msm_tpu_signed_digits_matches_host():
+    """The TPU-structured MSM (signed windows, complete projective adds,
+    padded-bucket gathers, halving collapse) vs host, at a small window
+    width so the XLA:CPU path stays fast. Stresses: zero/one/R-1 scalars,
+    duplicated points+scalars (equal-point adds inside one bucket), and an
+    infinity point in the table."""
+    n = 60
+    pts = [ch.pt_mul(ch.g1_gen(), rng.randrange(1, R)) for _ in range(n)]
+    pts[5] = None  # infinity sentinel row in the table
+    pts[7] = pts[6]  # duplicate point
+    scalars = [rng.randrange(R) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = R - 1
+    scalars[6] = scalars[7]  # duplicate (point, scalar) -> forced doubling case
+    expected = ch.msm_host(pts, scalars)
+    ax, ay = G1.pack_affine(pts)
+    sc = msm_mod.pack_scalars(scalars)
+    f = jax.jit(lambda ax, ay, sc: msm_mod.msm_tpu(G1, ax, ay, sc, c=6, L=8))
+    out = f(jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(sc))
+    got = G1.unpack_jacobian(jax.tree.map(lambda a: a[None], out))[0]
+    assert got == expected
+
+
+def test_signed_digit_decomposition():
+    """Signed window digits recompose to the scalar."""
+    c = 13
+    vals = [0, 1, R - 1, rng.randrange(R), (1 << 253) - 1, 1 << 200]
+    sc = jnp.asarray(msm_mod.pack_scalars(vals))
+    mag, neg = msm_mod.signed_digits_for_windows(sc, c)
+    mag, neg = np.asarray(mag), np.asarray(neg)
+    for i, v in enumerate(vals):
+        total = sum(
+            (-1 if neg[w, i] else 1) * int(mag[w, i]) << (c * w)
+            for w in range(mag.shape[0])
+        )
+        assert total == v, f"scalar {i}"
+        assert mag[:, i].max() <= 1 << (c - 1)
+
+
 def test_fixed_base_msm():
     base = ch.pt_mul(ch.g1_gen(), 9999)
     table = msm_mod.fixed_base_table_host(base, G1)
