@@ -87,7 +87,12 @@ def tile_sub(a, b):
 
 
 def tile_mul(a, b, p_col):
-    """Fused CIOS Montgomery product on (16, BLK) tiles (see pallas_field)."""
+    """Fused CIOS Montgomery product on (16, BLK) tiles (see pallas_field).
+
+    Per round, m is derived scalar-side from t[0] + lo(a_i*b_0) BEFORE any
+    bulk accumulation, so the a_i*b and m*p partial products merge into ONE
+    lo/hi padded add pair instead of two (the (17, BLK) concat+add chains
+    are the dominant non-multiply cost of the kernel)."""
     blk = a.shape[1]
     zero_row = jnp.zeros((1, blk), u32)
 
@@ -100,10 +105,12 @@ def tile_mul(a, b, p_col):
     t = jnp.zeros((NLIMBS + 1, blk), u32)
     for i in range(NLIMBS):
         prod = a[i : i + 1, :] * b
-        t = t + at_lo(prod & MASK) + at_hi(prod >> LIMB_BITS)
-        m = (t[0:1, :] * np.uint32(_NINV0)) & MASK
+        plo = prod & MASK
+        phi = prod >> LIMB_BITS
+        # only lo(prod[0]) lands in column 0, so m folds it in directly
+        m = ((t[0:1, :] + plo[0:1, :]) * np.uint32(_NINV0)) & MASK
         q = m * p_col
-        t = t + at_lo(q & MASK) + at_hi(q >> LIMB_BITS)
+        t = t + at_lo(plo + (q & MASK)) + at_hi(phi + (q >> LIMB_BITS))
         carry = t[0:1, :] >> LIMB_BITS
         t = jnp.concatenate([t[1:2, :] + carry, t[2:, :], zero_row], axis=0)
 

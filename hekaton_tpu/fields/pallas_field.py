@@ -58,10 +58,13 @@ def _kernel(p_ref, a_ref, b_ref, o_ref, *, p_limbs, ninv0):
     for i in range(NLIMBS):
         ai = a[i : i + 1, :]  # (1, BLK)
         prod = ai * b  # (16, BLK) — 16x16-bit products, exact in u32
-        t = t + at_lo(prod & MASK) + at_hi(prod >> LIMB_BITS)
-        m = (t[0:1, :] * np.uint32(ninv0)) & MASK  # (1, BLK)
+        plo = prod & MASK
+        phi = prod >> LIMB_BITS
+        # only lo(prod[0]) lands in column 0, so m folds it in directly and
+        # the a_i*b / m*p contributions merge into ONE padded add pair
+        m = ((t[0:1, :] + plo[0:1, :]) * np.uint32(ninv0)) & MASK  # (1, BLK)
         q = m * p_col  # (16, BLK)
-        t = t + at_lo(q & MASK) + at_hi(q >> LIMB_BITS)
+        t = t + at_lo(plo + (q & MASK)) + at_hi(phi + (q >> LIMB_BITS))
         # column 0 is now divisible by 2^16: fold its carry up and shift down
         carry = t[0:1, :] >> LIMB_BITS
         t = jnp.concatenate([t[1:2, :] + carry, t[2:, :], zero_row], axis=0)
