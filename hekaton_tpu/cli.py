@@ -131,19 +131,33 @@ def cmd_work(args):
 
     if getattr(args, "spill_dir", None):
         # Memory-bounded mode (all_in_one.rs:109-196): round-trip the stage-0
-        # state through disk; stage 1 recommits deterministically from the
-        # 32-byte seeds, proving the worker-statelessness/recovery property.
+        # state through disk in the canonical wire format (protocol/wire.py —
+        # data-only, no pickle across the process boundary); stage 1
+        # recommits deterministically from the 32-byte seeds, proving the
+        # worker-statelessness/recovery property.
         import os
-        import pickle
+        import struct
 
+        from .protocol import wire
+
+        mem_type = circuit_cls.MEM_TYPE
         os.makedirs(args.spill_dir, exist_ok=True)
-        spill = os.path.join(args.spill_dir, "stage0.pkl")
+        spill = os.path.join(args.spill_dir, "stage0.bin")
         with open(spill, "wb") as f:
-            pickle.dump((reqs0, resps0), f, protocol=4)
+            for req, resp in zip(reqs0, resps0):
+                rb = wire.stage0_request_to_bytes(req, mem_type)
+                f.write(struct.pack("<I", len(rb)) + rb)
+                f.write(wire.stage0_response_to_bytes(resp, mem_type))
         del reqs0, resps0
+        reqs0, resps0 = [], []
         with open(spill, "rb") as f:
-            reqs0, resps0 = pickle.load(f)
-        print(f"[work] stage0 state spilled+reloaded via {spill}")
+            for _ in range(n):
+                (rlen,) = struct.unpack("<I", f.read(4))
+                reqs0.append(wire.stage0_request_from_bytes(f.read(rlen)))
+                resps0.append(
+                    wire.stage0_response_from_bytes(f.read(wire.STAGE0_RESPONSE_SIZE))
+                )
+        print(f"[work] stage0 state spilled+reloaded via {spill} (wire format)")
 
     ipp_ck = ipp_setup(n, Rng.from_int(2000))
     stage1 = stage0.process_stage0_responses(ipp_ck, resps0)
