@@ -139,9 +139,10 @@ class TpuBackend:
         from ..msm.pippenger import msm, msm_tpu
 
         curve = G1 if curve_name == "g1" else G2
-        # the padded-bucket msm_tpu (scatter-free) wins for big G1 batches;
-        # G2 and small batches keep the compact kernel
-        fn = msm_tpu if (large and curve_name == "g1") else msm
+        # the padded-bucket msm_tpu (scatter-free) for all big batches — the
+        # compact kernel's scatter flushes faulted the TPU on canonical-scale
+        # G2 batches; small batches keep the compact kernel (smaller program)
+        fn = msm_tpu if large else msm
         return jax.jit(functools.partial(fn, curve))
 
     @staticmethod
@@ -151,12 +152,24 @@ class TpuBackend:
             p <<= 1
         return p
 
+    # big G2 MSMs are chunked (partials folded on host, a few point adds):
+    # bounds the scatter-free program's working set at canonical scale,
+    # where one fused 2^21-point G2 program crashed the TPU worker
+    G2_CHUNK = 1 << 18
+
     def msm(self, vec: PointVec, scalars: list) -> object:
         """Pads to the next power of two so jit specializations stay few."""
         import jax
         import jax.numpy as jnp
 
         from ..msm.pippenger import pack_scalars
+
+        if vec.curve.name != "g1" and len(scalars) > self.G2_CHUNK:
+            acc = None
+            for lo in range(0, len(scalars), self.G2_CHUNK):
+                part = self.msm(vec.slice(lo, lo + self.G2_CHUNK), scalars[lo : lo + self.G2_CHUNK])
+                acc = ch.pt_add(acc, part)
+            return acc
 
         curve = vec.curve
         ax, ay = vec.device_affine()
@@ -185,11 +198,21 @@ class TpuBackend:
             self._fb_tables[key] = (jnp.asarray(tx), jnp.asarray(ty))
         table = self._fb_tables[key]
         n = len(scalars)
-        m = self._next_pow2(max(n, 4))
-        sc = jnp.asarray(pack_scalars(list(scalars) + [0] * (m - n)))
+        # chunk the batch: one fused window-gather-add program over the full
+        # 2M-scalar CRS batch allocates ~50 live (m, 32)-limb temporaries in
+        # the loop body and blows HBM at canonical scale (measured 31 GB for
+        # a 2^21 G2 batch on a 16 GB chip); 2^18 lanes keeps temps ~2 GB
+        # while staying far above the launch-overhead floor
+        CHUNK = 1 << 18
         fn = self._fb_fn(curve.name)
-        ax, ay = fn(table, sc)
-        return curve.unpack_affine(ax, ay)[:n]
+        out = []
+        for lo in range(0, n, CHUNK):
+            part = scalars[lo : lo + CHUNK]
+            m = self._next_pow2(max(len(part), 4))
+            sc = jnp.asarray(pack_scalars(list(part) + [0] * (m - len(part))))
+            ax, ay = fn(table, sc)
+            out.extend(curve.unpack_affine(ax, ay)[: len(part)])
+        return out
 
     @staticmethod
     @functools.lru_cache(maxsize=None)

@@ -27,6 +27,10 @@ class PointVec:
     def __getitem__(self, i):
         return self.points[i]
 
+    def slice(self, lo: int, hi: int) -> "PointVec":
+        """Host-level sub-vector (device packing rebuilt lazily per slice)."""
+        return PointVec(self.points[lo:hi], self.curve)
+
     def device_affine(self):
         if self._device is None:
             import jax.numpy as jnp

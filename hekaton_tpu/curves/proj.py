@@ -207,3 +207,17 @@ class PallasProjG1Ops(ProjOps):
 
 
 PROJ_G1 = PallasProjG1Ops(jf.FqOps, 9, "g1_proj")
+
+_PROJ_G2 = None
+
+
+def proj_g2() -> ProjOps:
+    """Complete projective ops for G2 (b' = 3/(9+u), so b3 = 9/(9+u)); the
+    generic XLA formulas over Fq2 — no Pallas specialization (G2 MSMs are a
+    small fraction of the G1 work but must not fault at scale)."""
+    global _PROJ_G2
+    if _PROJ_G2 is None:
+        from .host import B_G2
+
+        _PROJ_G2 = ProjOps(jf.Fq2Ops, B_G2 * 3, "g2_proj")
+    return _PROJ_G2

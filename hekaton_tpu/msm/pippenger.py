@@ -404,15 +404,15 @@ def _collapse_columns(curve, d, acc, M: int, NB: int, L: int, N: int, n_in: int)
         acc = curve.select(can_pair, paired, acc)
         keep = (win % 2) == 0
         M_next = min(M, M // 2 + NB // 2 + 2)
-        if M_next == M:
-            # no static shrink left: finish remaining levels in place
-            d = jnp.where(keep, d, sentinel)
-            d = jnp.sort(d)
-            perm = jnp.argsort(jnp.where(keep, i, i + M))
-            acc = jax.tree.map(lambda a: a[perm], acc)
-            continue
-        kept_count = jnp.sum(keep)
-        perm = jnp.argsort(jnp.where(keep, i, i + M))[:M_next]
+        # stable-partition compaction via searchsorted on the keep-prefix-sum
+        # (position of the k-th kept element) — an argsort here paid a full
+        # sort network per level for what is just a monotone lookup
+        csum = jnp.cumsum(keep.astype(jnp.int32))
+        kept_count = csum[M - 1]
+        take = jnp.arange(1, M_next + 1, dtype=csum.dtype)
+        perm = jnp.minimum(jnp.searchsorted(csum, take, side="left"), M - 1).astype(
+            jnp.int32
+        )
         d = jnp.where(jnp.arange(M_next) < kept_count, d[perm], sentinel)
         acc = jax.tree.map(lambda a: a[perm], acc)
         M = M_next
@@ -432,14 +432,17 @@ def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: i
     key stream for all windows, padded-bucket flat gathers, halving-pair
     bucket collapse, suffix-scan weighted reduction, device Horner.
 
-    Semantics identical to msm(); returns a Jacobian point.
+    Semantics identical to msm(); returns a Jacobian point. Works for G2 as
+    well (coordinates flattened to (N, 32) rows; generic complete projective
+    formulas over Fq2) — the scatter-flushing msm() path faulted the TPU at
+    canonical-scale G2 batches, so big G2 MSMs must come through here.
     """
-    from ..curves.proj import PROJ_G1
+    from ..curves.proj import PROJ_G1, proj_g2
 
     N = ax.shape[0]
-    assert curve.f.ndim == 1, "msm_tpu is the G1 hot path (use msm for G2)"
-    proj = PROJ_G1
+    proj = PROJ_G1 if curve.f.ndim == 1 else proj_g2()
     f = proj.f
+    coord_shape = ax.shape[1:]
     mag, neg = signed_digits_for_windows(scalars, c, nbits)  # (W, N) each
     W = mag.shape[0]
     B = (1 << (c - 1)) + 1  # magnitudes 0..2^(c-1) inclusive
@@ -474,12 +477,17 @@ def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: i
 
     # the random row gathers are the level-1 bottleneck (row-latency + bytes
     # bound — PERFORMANCE.md): pack pairs of 16-bit limbs into one u32 so a
-    # table row is 64 B instead of 128 B (measured ~20% faster per row);
-    # unpacking after the gather is two vector ops
-    nlimb = ax.shape[-1]
+    # table row is 64 B (G1) / 128 B (G2) instead of twice that; unpacking
+    # after the gather is two vector ops. G2's (2, 16) Fq2 coordinates are
+    # flattened to 32 limbs for the table and restored after the gather.
+    nlimb = int(np.prod(coord_shape))
     half = nlimb // 2
 
+    def _flat(a):
+        return a.reshape(a.shape[0], nlimb)
+
     def _pack2(a):
+        a = _flat(a)
         return a[:, 0::2] | (a[:, 1::2] << 16)
 
     ay_neg = jf.neg(f.spec, ay)
@@ -496,7 +504,7 @@ def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: i
     def _unpack2(p):
         lo = p & jnp.uint32(0xFFFF)
         hi = p >> 16
-        return jnp.stack([lo, hi], axis=-1).reshape(p.shape[0], nlimb)
+        return jnp.stack([lo, hi], axis=-1).reshape((p.shape[0],) + coord_shape)
 
     def body(rr, acc):
         rows = table[jax.lax.dynamic_index_in_dim(src, rr, axis=0, keepdims=False)]

@@ -104,6 +104,25 @@ def test_msm_tpu_signed_digits_matches_host():
     assert got == expected
 
 
+def test_msm_tpu_g2_matches_host():
+    """msm_tpu generalizes to G2 (flattened Fq2 coords, generic complete
+    projective formulas) — the path big G2 MSMs must take on TPU, where the
+    scatter-flushing msm() faulted at canonical scale."""
+    n = 24
+    pts = [ch.pt_mul(ch.g2_gen(), rng.randrange(1, R)) for _ in range(n)]
+    pts[3] = None
+    scalars = [rng.randrange(R) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = R - 1
+    expected = ch.msm_host(pts, scalars)
+    ax, ay = G2.pack_affine(pts)
+    sc = msm_mod.pack_scalars(scalars)
+    f = jax.jit(lambda ax, ay, sc: msm_mod.msm_tpu(G2, ax, ay, sc, c=6, L=8))
+    out = f(jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(sc))
+    got = G2.unpack_jacobian(jax.tree.map(lambda a: a[None], out))[0]
+    assert got == expected
+
+
 def test_signed_digit_decomposition():
     """Signed window digits recompose to the scalar."""
     c = 13
