@@ -170,8 +170,9 @@ class R1CSFile:
                 lc[k] = (lc.get(k, 0) + coeff) % R
             return lc
 
-        for a, b, c in self.constraints:
-            cs.enforce(make_lc(a), make_lc(b), make_lc(c))
+        if not cs.value_only:  # replayed rows are pure bookkeeping
+            for a, b, c in self.constraints:
+                cs.enforce(make_lc(a), make_lc(b), make_lc(c))
 
     @classmethod
     def from_cs(cls, cs) -> "R1CSFile":

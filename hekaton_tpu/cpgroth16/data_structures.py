@@ -83,7 +83,7 @@ class CommitterKey:
 
 
 class ProvingKey:
-    def __init__(self, vk, beta_g, a_g, b_g, b_h, h_g, ck, deltas_g, domain_size, num_instance):
+    def __init__(self, vk, beta_g, a_g, b_g, b_h, h_g, ck, deltas_g, domain_size, num_instance, compiled=None):
         self.vk = vk
         self.beta_g = beta_g
         self.a_g = a_g  # PointVec over all columns [instance..., witness...]
@@ -94,6 +94,9 @@ class ProvingKey:
         self.deltas_g = deltas_g  # list of host points, one per stage
         self.domain_size = domain_size
         self.num_instance = num_instance
+        # r1cs.fastsynth.CompiledMatrices for this shape (set by the
+        # generator): enables value-only per-proof synthesis
+        self.compiled = compiled
 
     @property
     def last_delta_g(self):

@@ -66,6 +66,11 @@ def generate_parameters(
     circuit.synthesize_all(cs)
 
     ni = cs.num_instance
+    # compile the (shape-defining, value-independent) matrices once: per
+    # proof the worker then synthesizes values-only (r1cs/fastsynth.py)
+    from ..r1cs.fastsynth import CompiledMatrices
+
+    compiled = CompiledMatrices(cs)
     # tau outside the domain
     domain_probe = Domain(cs.num_constraints + ni)
     while True:
@@ -126,4 +131,5 @@ def generate_parameters(
         deltas_g=deltas_g,
         domain_size=m,
         num_instance=ni,
+        compiled=compiled,
     )

@@ -49,7 +49,15 @@ def prove_last_stage(
 ) -> tuple:
     """Returns (A, B, C) group elements (no commitments attached yet)."""
     circuit.generate_constraints(circuit.last_stage(), cs)
-    assert cs.is_satisfied(), f"unsatisfied constraint {cs.which_unsatisfied()}"
+    if cs.value_only:
+        # fast path: precompiled matrices (generator-attached) provide the
+        # evals AND the satisfiability check against the value-only witness
+        a_evals, b_evals, c_evals = pk.compiled.evals(
+            cs.full_assignment(), pk.domain_size, check=True
+        )
+    else:
+        assert cs.is_satisfied(), f"unsatisfied constraint {cs.which_unsatisfied()}"
+        a_evals, b_evals, c_evals = _matrix_evals(cs, pk.domain_size)
 
     z = cs.full_assignment()
 
@@ -73,7 +81,6 @@ def prove_last_stage(
     l_aux = backend.msm(pk.last_ck(), last_witness)
 
     # h query
-    a_evals, b_evals, c_evals = _matrix_evals(cs, pk.domain_size)
     h = backend.witness_map(a_evals, b_evals, c_evals)
     h_acc = backend.msm(pk.h_g, h)
 
@@ -92,7 +99,9 @@ class CommitmentBuilder:
     current stage and commits its witness; prove() runs the final stage."""
 
     def __init__(self, circuit: MultiStageSynthesizer, pk: ProvingKey, backend=DEFAULT_BACKEND):
-        self.cs = ConstraintSystem()
+        # value-only synthesis when the PK carries compiled matrices
+        # (generator-attached; absent on hand-built/legacy keys)
+        self.cs = ConstraintSystem(value_only=getattr(pk, "compiled", None) is not None)
         self.circuit = circuit
         self.cur_stage = 0
         self.pk = pk
@@ -100,7 +109,11 @@ class CommitmentBuilder:
 
     def commit(self, rng: Rng):
         self.circuit.generate_constraints(self.cur_stage, self.cs)
-        assert self.cs.is_satisfied(), f"unsatisfied constraint {self.cs.which_unsatisfied()}"
+        # value-only mode defers the satisfiability check to prove time
+        # (CompiledMatrices.evals checks every row, incl. this stage's)
+        assert self.cs.value_only or self.cs.is_satisfied(), (
+            f"unsatisfied constraint {self.cs.which_unsatisfied()}"
+        )
         witness = self.cs.current_stage_witness()
         current_ck = self.pk.ck.deltas_abc_g[self.cur_stage]
         assert len(witness) == len(current_ck), (

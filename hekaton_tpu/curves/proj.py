@@ -208,6 +208,27 @@ class PallasProjG1Ops(ProjOps):
 
 PROJ_G1 = PallasProjG1Ops(jf.FqOps, 9, "g1_proj")
 
+_PROJ_BLS = None
+
+
+def proj_for_curve(curve) -> ProjOps:
+    """The complete-formula ops matching a CurveOps' base field: BN254 G1
+    (Pallas-fused), BLS12-381 G1 (generic XLA over 24 limbs), or BN254 G2."""
+    if curve.f.ndim == 2:
+        return proj_g2()
+    from ..fields.bn254 import P as P254
+
+    if curve.f.spec.modulus == P254:
+        return PROJ_G1
+    from ..fields.bls12_381 import B_G1, P as P381
+
+    assert curve.f.spec.modulus == P381, "unknown base field for projective ops"
+    global _PROJ_BLS
+    if _PROJ_BLS is None:
+        _PROJ_BLS = ProjOps(curve.f, 3 * B_G1, "g1_bls381_proj")
+    return _PROJ_BLS
+
+
 _PROJ_G2 = None
 
 

@@ -437,10 +437,10 @@ def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: i
     formulas over Fq2) — the scatter-flushing msm() path faulted the TPU at
     canonical-scale G2 batches, so big G2 MSMs must come through here.
     """
-    from ..curves.proj import PROJ_G1, proj_g2
+    from ..curves.proj import proj_for_curve
 
     N = ax.shape[0]
-    proj = PROJ_G1 if curve.f.ndim == 1 else proj_g2()
+    proj = proj_for_curve(curve)
     f = proj.f
     coord_shape = ax.shape[1:]
     mag, neg = signed_digits_for_windows(scalars, c, nbits)  # (W, N) each

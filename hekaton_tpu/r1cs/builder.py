@@ -27,10 +27,19 @@ ONE = var_instance(0)
 
 
 class ConstraintSystem:
-    def __init__(self, setup_mode: bool = False):
+    def __init__(self, setup_mode: bool = False, value_only: bool = False):
         # setup_mode mirrors ark-relations SynthesisMode::Setup: placeholder
         # values are allowed, so witness-consistency assertions are skipped.
+        #
+        # value_only mirrors arkworks' witness-generation-without-matrices
+        # optimization hint (what a production prover does once the matrices
+        # are compiled per unique subcircuit shape): allocations and witness
+        # values are computed exactly as in full mode — the ALLOCATION ORDER
+        # is the contract — but linear combinations are not materialized and
+        # enforce() is a no-op. Per-proof satisfiability/evals then come from
+        # r1cs.fastsynth.CompiledMatrices against this assignment.
         self.setup_mode = setup_mode
+        self.value_only = value_only
         self.instance_assignment = [1]
         self.witness_assignment = []
         self.a_rows: list = []
@@ -61,8 +70,10 @@ class ConstraintSystem:
         return len(self.a_rows)
 
     # -- constraints -----------------------------------------------------------
-    def enforce(self, a_lc: dict, b_lc: dict, c_lc: dict):
+    def enforce(self, a_lc, b_lc, c_lc):
         """Add the constraint <a,z> * <b,z> = <c,z>."""
+        if self.value_only:
+            return
         self.a_rows.append(dict(a_lc))
         self.b_rows.append(dict(b_lc))
         self.c_rows.append(dict(c_lc))

@@ -27,23 +27,33 @@ class FpVar:
     @staticmethod
     def witness(cs: ConstraintSystem, value: int) -> "FpVar":
         key = cs.new_witness(value)
-        return FpVar(cs, {key: 1}, value)
+        # value_only: no linear combinations (allocation order is the
+        # contract; matrices come precompiled — r1cs/fastsynth.py)
+        return FpVar(cs, None if cs.value_only else {key: 1}, value)
 
     @staticmethod
     def input(cs: ConstraintSystem, value: int) -> "FpVar":
         key = cs.new_input(value)
-        return FpVar(cs, {key: 1}, value)
+        return FpVar(cs, None if cs.value_only else {key: 1}, value)
 
     def is_constant(self) -> bool:
-        return all(k == ONE for k in self.lc)
+        # constants keep a {ONE: c} lc even in value_only mode so that the
+        # constant-folding branches (and hence witness ALLOCATION ORDER) are
+        # identical between modes
+        return self.lc is not None and all(k == ONE for k in self.lc)
 
     # -- linear ops (free) -------------------------------------------------------
     def _combine(self, other, sign: int) -> "FpVar":
         other = self._coerce(other)
+        value = (self.value + sign * other.value) % R
+        if self.lc is None or other.lc is None:
+            return FpVar(self.cs, None, value)
         lc = dict(self.lc)
         for k, c in other.lc.items():
             lc[k] = (lc.get(k, 0) + sign * c) % R
-        return FpVar(self.cs, lc, (self.value + sign * other.value) % R)
+        if self.cs.value_only and not (self.is_constant() and other.is_constant()):
+            lc = None
+        return FpVar(self.cs, lc, value)
 
     def _coerce(self, other) -> "FpVar":
         if isinstance(other, FpVar):
@@ -62,10 +72,14 @@ class FpVar:
         return self._coerce(other)._combine(self, -1)
 
     def __neg__(self):
+        if self.lc is None:
+            return FpVar(self.cs, None, -self.value)
         return FpVar(self.cs, {k: (-c) % R for k, c in self.lc.items()}, -self.value)
 
     def scale(self, c: int) -> "FpVar":
         c %= R
+        if self.lc is None:
+            return FpVar(self.cs, None, self.value * c)
         return FpVar(self.cs, {k: v * c % R for k, v in self.lc.items()}, self.value * c)
 
     # -- multiplication (1 constraint unless a side is constant) -------------------

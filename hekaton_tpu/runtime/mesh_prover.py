@@ -177,9 +177,12 @@ class MeshProver:
             prover.subcircuit_idx = idx
             prover.time_ordered_subtrace = req.time_ordered_subtrace
             prover.addr_ordered_subtrace = req.addr_ordered_subtrace
-            cs = ConstraintSystem()
+            pk0 = self.keys.minimal_pks[self.keys.representatives[idx]]
+            fast = getattr(pk0, "compiled", None) is not None
+            cs = ConstraintSystem(value_only=fast)
             prover.generate_constraints(0, cs)
-            assert cs.is_satisfied(), f"unsatisfied stage-0 constraint @ {idx}"
+            # value-only mode defers satisfiability to the stage-1 compiled check
+            assert fast or cs.is_satisfied(), f"unsatisfied stage-0 constraint @ {idx}"
             witness = cs.current_stage_witness()
             # seed/kappa stream identical to the sequential worker
             # (worker.py process_stage0_request_get_cb)
@@ -233,12 +236,15 @@ class MeshProver:
             wrapper.root = req.root
             wrapper.challenges = req.cur_leaf.evals.challenge_list()
             wrapper.generate_constraints(1, cs)
-            assert cs.is_satisfied(), f"unsatisfied stage-1 constraint @ {idx}"
             rep = self.keys.representatives[idx]
             pk = self.keys.minimal_pks[rep]
             z = cs.full_assignment()
             w1 = cs.current_stage_witness()
-            a_ev, b_ev, c_ev = _matrix_evals(cs, pk.domain_size)
+            if cs.value_only:
+                a_ev, b_ev, c_ev = pk.compiled.evals(z, pk.domain_size, check=True)
+            else:
+                assert cs.is_satisfied(), f"unsatisfied stage-1 constraint @ {idx}"
+                a_ev, b_ev, c_ev = _matrix_evals(cs, pk.domain_size)
             # r/s stream identical to cli.cmd_work's sequential path
             rng_i = rng.fork(b"s1" + str(idx).encode())
             r, s = rng_i.next_fr(), rng_i.next_fr()

@@ -113,8 +113,9 @@ class PartitionedR1CSCircuit(CircuitWithPortals):
                     lc[k] = (lc.get(k, 0) + coeff * c) % R
             return lc
 
-        for a, b, c in r1cs.constraints:
-            cs.enforce(make_lc(a), make_lc(b), make_lc(c))
+        if not cs.value_only:  # replayed rows are pure bookkeeping
+            for a, b, c in r1cs.constraints:
+                cs.enforce(make_lc(a), make_lc(b), make_lc(c))
 
         if self.params.num_subcircuits == 1:
             # a single-partition circuit has no cross-subcircuit wires; the

@@ -90,3 +90,29 @@ def test_bls_msm_matches_host(curve):
     for p, s in zip(pts, scal):
         exp = _h_add(exp, _h_mul(p, s))
     assert got == exp
+
+
+def test_bls_msm_tpu_matches_host(curve):
+    """The TPU-structured MSM (signed digits, complete projective adds via
+    proj_for_curve) on the 24-limb BLS12-381 G1."""
+    import numpy as np
+
+    from hekaton_tpu.fields.bn254 import to_limbs
+    from hekaton_tpu.msm.pippenger import msm_tpu
+
+    n = 40
+    pts = [_h_mul(bls.G1_GEN, rng.randrange(1, 2**40)) for _ in range(n)]
+    pts[2] = None
+    scal = [rng.randrange(bls.R) for _ in range(n)]
+    scal[0] = 0
+    scal[1] = bls.R - 1
+    ax, ay = curve.pack_affine(pts)
+    sc = np.asarray([to_limbs(s, 16) for s in scal], dtype=np.uint32)
+    out = jax.jit(lambda x, y, s: msm_tpu(curve, x, y, s, c=6, L=8, nbits=255))(
+        jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(sc)
+    )
+    got = curve.unpack_jacobian(jax.tree.map(lambda a: a[None], out))[0]
+    exp = None
+    for p, s in zip(pts, scal):
+        exp = _h_add(exp, _h_mul(p, s)) if p is not None else exp
+    assert got == exp
