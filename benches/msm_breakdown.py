@@ -42,9 +42,12 @@ def main():
         NB = W * B
         keys = mag + (jnp.arange(W, dtype=u32) * jnp.uint32(B))[:, None]
         keys = keys.reshape(-1)
-        order = jnp.argsort(keys)
-        sk = keys[order]
-        prow = ((order % N) + neg.reshape(-1)[order] * N).astype(jnp.int32)
+        payload = (
+            jnp.broadcast_to(jnp.arange(N, dtype=u32)[None], (W, N)).reshape(-1)
+            + neg.reshape(-1) * jnp.uint32(N)
+        )
+        sk, prow_u = jax.lax.sort((keys, payload), num_keys=1)
+        prow = prow_u.astype(jnp.int32)
         n_in = sk.shape[0]
         ncols = n_in // L + NB
         ids = jnp.arange(NB, dtype=sk.dtype)
@@ -82,11 +85,16 @@ def main():
     def level1(ax, ay, scalars):
         src, table, col_bucket = plan(ax, ay, scalars)
 
-        def body(rr, acc):
-            rows = table[jax.lax.dynamic_index_in_dim(src, rr, axis=0, keepdims=False)]
-            return PROJ_G1.add_mixed(acc, rows[:, :16], rows[:, 16:])
+        def _fetch(rr):
+            return table[jax.lax.dynamic_index_in_dim(src, rr, axis=0, keepdims=False)]
 
-        acc = jax.lax.fori_loop(0, L, body, PROJ_G1.inf((src.shape[1],)))
+        def body(rr, carry):
+            acc, rows = carry
+            nxt = _fetch(jnp.minimum(rr + 1, L - 1))
+            acc = PROJ_G1.add_mixed(acc, rows[:, :16], rows[:, 16:])
+            return acc, nxt
+
+        acc, _ = jax.lax.fori_loop(0, L, body, (PROJ_G1.inf((src.shape[1],)), _fetch(0)))
         return jnp.sum(acc.x), jnp.sum(acc.z)
 
     def timed(name, fn):

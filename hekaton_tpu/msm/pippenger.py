@@ -326,10 +326,33 @@ def _padded_level(curve: CurveOps, d, vals, n_buckets: int, L: int, max_count: i
     return col_bucket.astype(d.dtype), acc, next_max
 
 
+def _plain_sum_axis1(curve, b):
+    """Tree-reduce a (W, m) batched point over axis 1 by halving pair-adds."""
+    m = b.x.shape[1]
+    while m > 1:
+        if m % 2:
+            b = jax.tree.map(
+                lambda a, i: jnp.concatenate(
+                    [a, jnp.broadcast_to(i[:, None], (a.shape[0], 1) + a.shape[2:])], axis=1
+                ),
+                b,
+                curve.inf((b.x.shape[0],)),
+            )
+            m += 1
+        lo = jax.tree.map(lambda a: a[:, 0::2], b)
+        hi = jax.tree.map(lambda a: a[:, 1::2], b)
+        b = curve.add(type(b)(*lo), type(b)(*hi))
+        m //= 2
+    return jax.tree.map(lambda a: a[:, 0], b)
+
+
 def _suffix_weighted(curve: CurveOps, buckets: Jac, W: int, B: int) -> Jac:
     """sum_b b * B_b per window from (W*B,) digit-ordered bucket sums:
-    inclusive suffix scan along the bucket axis (log2 B masked-add steps),
-    then sum of T_1..T_{B-1} per window."""
+    inclusive suffix scan along the bucket axis (log2 B masked-add fori
+    steps — fixed shape, so the scan stays one traced loop body), then a
+    halving-tree reduction of T_1..T_{B-1} per window (log2 B unrolled adds
+    at halving widths — replaces the previous full-width roll reduction,
+    which paid (B log B)/2 extra adds for no reason)."""
     bk = jax.tree.map(lambda a: a.reshape((W, B) + a.shape[1:]), buckets)
     steps = max(1, int(math.ceil(math.log2(B))))
     idx = jnp.arange(B)
@@ -342,21 +365,9 @@ def _suffix_weighted(curve: CurveOps, buckets: Jac, W: int, B: int) -> Jac:
         return curve.select(jnp.broadcast_to(valid, (W, B)), comb, t)
 
     t = jax.lax.fori_loop(0, steps, body, bk)
-    # drop T_0 (bucket 0 contributes nothing) then tree-reduce over B
-    t = jax.tree.map(lambda a: a[:, 1:], t)
-    m = B - 1
-    red_steps = max(1, int(math.ceil(math.log2(m))))
-    ridx = jnp.arange(m)
-
-    def rbody(i, b):
-        sh = 1 << i
-        shifted = jax.tree.map(lambda a: jnp.roll(a, -sh, axis=1), b)
-        valid = (ridx + sh < m)[None, :]
-        comb = curve.add(b, shifted)
-        return curve.select(jnp.broadcast_to(valid, (W, m)), comb, b)
-
-    b = jax.lax.fori_loop(0, red_steps, rbody, t)
-    return jax.tree.map(lambda a: a[:, 0], b)  # (W,) window sums
+    # drop T_0 (bucket 0 contributes nothing), tree-reduce over the B axis
+    b = jax.tree.map(lambda a: a[:, 1:], t)
+    return _plain_sum_axis1(curve, type(bk)(*b))
 
 
 def signed_digits_for_windows(scalars, c: int, nbits: int = 254):
@@ -384,26 +395,33 @@ def signed_digits_for_windows(scalars, c: int, nbits: int = 254):
     return jnp.stack(mags), jnp.stack(negs)
 
 
-def _collapse_columns(curve, d, acc, M: int, NB: int, L: int, N: int, n_in: int):
-    """Halve every bucket's column count per level with adjacent-pair adds +
-    stream compaction, until each bucket owns one column. `d` is the sorted
-    (M,) bucket id per column, `acc` the per-column partial sums."""
+def _collapse_columns(curve, d, acc, M: int, NB: int, L: int, N: int, n_in: int, p: int = 3):
+    """Reduce every bucket to one column: stride-doubling adjacent-pair adds
+    (strides 1, 2, .., 2^(p-1)) followed by ONE stream compaction per
+    superlevel. After the stride passes every column whose within-bucket
+    index w satisfies w % 2^p == 0 holds the (clipped) sum of its
+    2^p-column block, so a single compaction shrinks the stream 2^p-fold —
+    amortizing the searchsorted/cumsum/gather compaction machinery that
+    dominated the one-pass-per-compaction version. `d` is the sorted (M,)
+    bucket id per column, `acc` the per-column partial sums."""
     max_cols = (min(N, n_in) + L - 1) // L  # worst case: one bucket holds a full window
     levels = max(1, math.ceil(math.log2(max(2, max_cols))))
     sentinel = jnp.int32(NB)
-    for _ in range(levels):
+    for _ in range(math.ceil(levels / p)):
         if M <= 1:
             break
         i = jnp.arange(M)
         first = jnp.searchsorted(d, d, side="left")
         win = i - first  # column index within its bucket
-        d_next = jnp.concatenate([d[1:], jnp.full((1,), sentinel)])
-        nxt = jax.tree.map(lambda a: jnp.concatenate([a[1:], a[:1]]), acc)
-        can_pair = (win % 2 == 0) & (d_next == d) & (d < NB)
-        paired = curve.add(acc, nxt)
-        acc = curve.select(can_pair, paired, acc)
-        keep = (win % 2) == 0
-        M_next = min(M, M // 2 + NB // 2 + 2)
+        for q in range(p):
+            s = 1 << q
+            d_next = jnp.concatenate([d[s:], jnp.full((s,), sentinel)])
+            nxt = jax.tree.map(lambda a: jnp.concatenate([a[s:], a[:s]]), acc)
+            can_pair = (win % (2 * s) == 0) & (d_next == d) & (d < NB)
+            paired = curve.add(acc, nxt)
+            acc = curve.select(can_pair, paired, acc)
+        keep = (win % (1 << p)) == 0
+        M_next = min(M, M // (1 << p) + NB)
         # stable-partition compaction via searchsorted on the keep-prefix-sum
         # (position of the k-th kept element) — an argsort here paid a full
         # sort network per level for what is just a monotone lookup
@@ -449,10 +467,15 @@ def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: i
     NB = W * B
     keys = mag + (jnp.arange(W, dtype=u32) * jnp.uint32(B))[:, None]
     keys = keys.reshape(-1)  # (W*N,) w-major
-    order = jnp.argsort(keys)
-    sk = keys[order]
-    # row in the doubled table: +N selects the pre-negated half
-    prow = ((order % N) + neg.reshape(-1)[order] * N).astype(jnp.int32)
+    # row in the doubled table: +N selects the pre-negated half. The row id
+    # rides the sort as a payload operand — a multi-operand lax.sort measured
+    # 5x faster than argsort + two random payload gathers (benches/gather_ab.py)
+    payload = (
+        jnp.broadcast_to(jnp.arange(N, dtype=u32)[None], (W, N)).reshape(-1)
+        + neg.reshape(-1) * jnp.uint32(N)
+    )
+    sk, prow_u = jax.lax.sort((keys, payload), num_keys=1)
+    prow = prow_u.astype(jnp.int32)
     n_in = sk.shape[0]
     ncols = n_in // L + NB  # static upper bound, exact for any distribution
 
@@ -506,11 +529,20 @@ def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: i
         hi = p >> 16
         return jnp.stack([lo, hi], axis=-1).reshape((p.shape[0],) + coord_shape)
 
-    def body(rr, acc):
-        rows = table[jax.lax.dynamic_index_in_dim(src, rr, axis=0, keepdims=False)]
-        return proj.add_mixed(acc, _unpack2(rows[:, :half]), _unpack2(rows[:, half:]))
+    # software-pipelined accumulation: iteration r gathers the rows for
+    # r+1 while the RCB adds consume the rows gathered at r, so the row
+    # fetches (latency-bound, ~24 ns/row) overlap the VPU work instead of
+    # serializing with it (measured: pure gather 0.53 s vs level-1 1.25 s)
+    def _fetch(rr):
+        return table[jax.lax.dynamic_index_in_dim(src, rr, axis=0, keepdims=False)]
 
-    acc = jax.lax.fori_loop(0, L, body, proj.inf((ncols,)))
+    def body(rr, carry):
+        acc, rows = carry
+        nxt = _fetch(jnp.minimum(rr + 1, L - 1))
+        acc = proj.add_mixed(acc, _unpack2(rows[:, :half]), _unpack2(rows[:, half:]))
+        return acc, nxt
+
+    acc, _ = jax.lax.fori_loop(0, L, body, (proj.inf((ncols,)), _fetch(0)))
 
     d, acc, M = _collapse_columns(proj, col_bucket, acc, ncols, NB, L, N, n_in)
 
