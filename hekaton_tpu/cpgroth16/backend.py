@@ -152,29 +152,35 @@ class TpuBackend:
             p <<= 1
         return p
 
-    # big G2 MSMs are chunked (partials folded on host, a few point adds):
-    # bounds the scatter-free program's working set at canonical scale,
-    # where one fused 2^21-point G2 program crashed the TPU worker
+    # Big MSMs are chunked (partials folded on host, a few point adds per
+    # chunk) and every chunk is PADDED TO THE FULL CHUNK SIZE, so canonical
+    # scale reuses ONE compiled program per curve instead of fresh-compiling
+    # each next_pow2 shape: a cold canonical-scale compile (2^21 points)
+    # OOM-killed the remote compile helper, and the G1 2^20 program is
+    # already warmed by bench.py. G2's smaller chunk bounds the padded-
+    # bucket working set (a fused 2^21-point G2 program crashed the worker).
+    G1_CHUNK = 1 << 20
     G2_CHUNK = 1 << 18
 
-    def msm(self, vec: PointVec, scalars: list) -> object:
+    def msm(self, vec: PointVec, scalars: list, pad_to: int = 0) -> object:
         """Pads to the next power of two so jit specializations stay few."""
         import jax
         import jax.numpy as jnp
 
         from ..msm.pippenger import pack_scalars
 
-        if vec.curve.name != "g1" and len(scalars) > self.G2_CHUNK:
+        chunk = self.G1_CHUNK if vec.curve.name == "g1" else self.G2_CHUNK
+        if len(scalars) > chunk:
             acc = None
-            for lo in range(0, len(scalars), self.G2_CHUNK):
-                part = self.msm(vec.slice(lo, lo + self.G2_CHUNK), scalars[lo : lo + self.G2_CHUNK])
+            for lo in range(0, len(scalars), chunk):
+                part = self.msm(vec.slice(lo, lo + chunk), scalars[lo : lo + chunk], pad_to=chunk)
                 acc = ch.pt_add(acc, part)
             return acc
 
         curve = vec.curve
         ax, ay = vec.device_affine()
         n = len(scalars)
-        m = self._next_pow2(max(n, 4))
+        m = self._next_pow2(max(n, 4, pad_to))
         sc = pack_scalars(list(scalars) + [0] * (m - n))
         if ax.shape[0] < m:
             pad = m - ax.shape[0]

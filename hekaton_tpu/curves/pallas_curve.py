@@ -7,8 +7,11 @@ multiplies with HBM round-trips. Edge handling (infinity lanes, equal-x)
 mirrors curves/jax_curve.py:63-140 branchlessly.
 
 Layout note: batch stays on the vector lanes; all field values are canonical
-16-bit limbs in u32 rows. G1 only (G2's Fq2 towers stay on the XLA path —
-their MSMs are tiny by comparison).
+16-bit limbs in u32 rows. G2 (Fq2) variants of the complete RCB kernels live
+at the bottom of this file: an Fq2 tile is a pair of (16, BLK) component
+tiles and a G2 point row is 32 limbs (c0 || c1 per coordinate). Without
+them the canonical-scale G2 MSM inlines ~19 MB of limb arithmetic into one
+XLA program, which OOM-kills the remote compile helper.
 """
 from __future__ import annotations
 
@@ -331,12 +334,193 @@ def _pdbl_rcb_tiles(x, y, z, p_col):
 
 
 # ---------------------------------------------------------------------------
+# G2: Fq2 tiles (pairs of (16, BLK) component tiles) + complete RCB kernels
+# ---------------------------------------------------------------------------
+
+
+def f2_add(a, b):
+    return (tile_add(a[0], b[0]), tile_add(a[1], b[1]))
+
+
+def f2_sub(a, b):
+    return (tile_sub(a[0], b[0]), tile_sub(a[1], b[1]))
+
+
+def f2_mul(a, b, p_col):
+    """Karatsuba over Fq[u]/(u^2+1): 3 tile_muls (matches jax_field.fq2_mul)."""
+    t0 = tile_mul(a[0], b[0], p_col)
+    t1 = tile_mul(a[1], b[1], p_col)
+    c0 = tile_sub(t0, t1)
+    s = tile_mul(tile_add(a[0], a[1]), tile_add(b[0], b[1]), p_col)
+    c1 = tile_sub(tile_sub(s, t0), t1)
+    return (c0, c1)
+
+
+def f2_is_zero(a):
+    return jnp.logical_and(tile_is_zero(a[0]), tile_is_zero(a[1]))
+
+
+def f2_select(cond, a, b):
+    return (tile_select(cond, a[0], b[0]), tile_select(cond, a[1], b[1]))
+
+
+def _b3_g2_limbs():
+    """Montgomery limbs of 3*b' = 9/(9+u) (the RCB mul-by-3b constant for
+    BN254 G2, /root/reference twist b' = 3/(9+u)) as two 16-int tuples."""
+    from .host import B_G2
+
+    b3 = B_G2 + B_G2 + B_G2
+    return (
+        tuple(int(x) for x in FQ.pack([b3.c0])[0]),
+        tuple(int(x) for x in FQ.pack([b3.c1])[0]),
+    )
+
+
+_B3_G2 = _b3_g2_limbs()
+
+
+def f2_mul_b3(a, p_col, blk):
+    """a * (3b') for the G2 twist constant — a full Fq2 constant, so this is
+    one Karatsuba mul against a broadcast constant tile (unlike G1's 9*a
+    add chain)."""
+    c = (_const_col(_B3_G2[0], blk), _const_col(_B3_G2[1], blk))
+    return f2_mul(a, c, p_col)
+
+
+def _pmadd_rcb_g2_tiles(x1, y1, z1, ax, ay, p_col):
+    """G2 mixed add — RCB15 Algorithm 8 (a=0) over Fq2; mirrors
+    curves/proj.py ProjOps.add_mixed. The affine (0,0) sentinel is resolved
+    by one select (curve points in the prime-order G2 subgroup have y != 0:
+    y = 0 implies order 2)."""
+    blk = x1[0].shape[1]
+    q_inf = f2_is_zero(ay)
+    t0 = f2_mul(x1, ax, p_col)
+    t1 = f2_mul(y1, ay, p_col)
+    t3 = f2_mul(f2_add(ax, ay), f2_add(x1, y1), p_col)
+    t3 = f2_sub(t3, f2_add(t0, t1))
+    t4 = f2_add(f2_mul(ay, z1, p_col), y1)
+    y3 = f2_add(f2_mul(ax, z1, p_col), x1)
+    x3 = f2_add(t0, t0)
+    t0 = f2_add(x3, t0)
+    t2 = f2_mul_b3(z1, p_col, blk)
+    z3 = f2_add(t1, t2)
+    t1 = f2_sub(t1, t2)
+    y3 = f2_mul_b3(y3, p_col, blk)
+    x3 = f2_sub(f2_mul(t3, t1, p_col), f2_mul(t4, y3, p_col))
+    y3 = f2_add(f2_mul(t1, z3, p_col), f2_mul(y3, t0, p_col))
+    z3 = f2_add(f2_mul(z3, t4, p_col), f2_mul(t0, t3, p_col))
+    x3 = f2_select(q_inf, x1, x3)
+    y3 = f2_select(q_inf, y1, y3)
+    z3 = f2_select(q_inf, z1, z3)
+    return x3, y3, z3
+
+
+def _padd_rcb_g2_tiles(x1, y1, z1, x2, y2, z2, p_col):
+    """G2 complete projective add — RCB15 Algorithm 7 (a=0) over Fq2."""
+    blk = x1[0].shape[1]
+    t0 = f2_mul(x1, x2, p_col)
+    t1 = f2_mul(y1, y2, p_col)
+    t2 = f2_mul(z1, z2, p_col)
+    t3 = f2_mul(f2_add(x1, y1), f2_add(x2, y2), p_col)
+    t3 = f2_sub(t3, f2_add(t0, t1))
+    t4 = f2_mul(f2_add(y1, z1), f2_add(y2, z2), p_col)
+    t4 = f2_sub(t4, f2_add(t1, t2))
+    y3 = f2_mul(f2_add(x1, z1), f2_add(x2, z2), p_col)
+    y3 = f2_sub(y3, f2_add(t0, t2))
+    x3 = f2_add(t0, t0)
+    t0 = f2_add(x3, t0)
+    t2 = f2_mul_b3(t2, p_col, blk)
+    z3 = f2_add(t1, t2)
+    t1 = f2_sub(t1, t2)
+    y3 = f2_mul_b3(y3, p_col, blk)
+    x3 = f2_sub(f2_mul(t3, t1, p_col), f2_mul(t4, y3, p_col))
+    y3 = f2_add(f2_mul(t1, z3, p_col), f2_mul(y3, t0, p_col))
+    z3 = f2_add(f2_mul(z3, t4, p_col), f2_mul(t0, t3, p_col))
+    return x3, y3, z3
+
+
+def _pdbl_rcb_g2_tiles(x, y, z, p_col):
+    """G2 complete projective double — RCB15 Algorithm 9 (a=0) over Fq2."""
+    blk = x[0].shape[1]
+    t0 = f2_mul(y, y, p_col)
+    z3 = f2_add(t0, t0)
+    z3 = f2_add(z3, z3)
+    z3 = f2_add(z3, z3)
+    t1 = f2_mul(y, z, p_col)
+    t2 = f2_mul_b3(f2_mul(z, z, p_col), p_col, blk)
+    x3 = f2_mul(t2, z3, p_col)
+    y3 = f2_add(t0, t2)
+    z3 = f2_mul(t1, z3, p_col)
+    t1 = f2_add(t2, t2)
+    t2 = f2_add(t1, t2)
+    t0 = f2_sub(t0, t2)
+    y3 = f2_mul(t0, y3, p_col)
+    y3 = f2_add(x3, y3)
+    t1 = f2_mul(x, y, p_col)
+    x3 = f2_mul(t0, t1, p_col)
+    x3 = f2_add(x3, x3)
+    return x3, y3, z3
+
+
+def _g2_split(t):
+    """(32, BLK) row-major G2 coordinate -> (c0, c1) pair of (16, BLK) tiles."""
+    return (t[:NLIMBS], t[NLIMBS:])
+
+
+def _g2_cat(a):
+    return jnp.concatenate([a[0], a[1]], axis=0)
+
+
+def _pmadd_rcb_g2_kernel(p_ref, x_ref, y_ref, z_ref, ax_ref, ay_ref, ox_ref, oy_ref, oz_ref):
+    p_col = p_ref[:]
+    x3, y3, z3 = _pmadd_rcb_g2_tiles(
+        _g2_split(x_ref[:].T),
+        _g2_split(y_ref[:].T),
+        _g2_split(z_ref[:].T),
+        _g2_split(ax_ref[:].T),
+        _g2_split(ay_ref[:].T),
+        p_col,
+    )
+    ox_ref[:] = _g2_cat(x3).T
+    oy_ref[:] = _g2_cat(y3).T
+    oz_ref[:] = _g2_cat(z3).T
+
+
+def _padd_rcb_g2_kernel(
+    p_ref, x1_ref, y1_ref, z1_ref, x2_ref, y2_ref, z2_ref, ox_ref, oy_ref, oz_ref
+):
+    p_col = p_ref[:]
+    x3, y3, z3 = _padd_rcb_g2_tiles(
+        _g2_split(x1_ref[:].T),
+        _g2_split(y1_ref[:].T),
+        _g2_split(z1_ref[:].T),
+        _g2_split(x2_ref[:].T),
+        _g2_split(y2_ref[:].T),
+        _g2_split(z2_ref[:].T),
+        p_col,
+    )
+    ox_ref[:] = _g2_cat(x3).T
+    oy_ref[:] = _g2_cat(y3).T
+    oz_ref[:] = _g2_cat(z3).T
+
+
+def _pdbl_rcb_g2_kernel(p_ref, x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref):
+    p_col = p_ref[:]
+    x3, y3, z3 = _pdbl_rcb_g2_tiles(
+        _g2_split(x_ref[:].T), _g2_split(y_ref[:].T), _g2_split(z_ref[:].T), p_col
+    )
+    ox_ref[:] = _g2_cat(x3).T
+    oy_ref[:] = _g2_cat(y3).T
+    oz_ref[:] = _g2_cat(z3).T
+
+
+# ---------------------------------------------------------------------------
 # pallas_call wrappers ((n, 16) interface layout)
 # ---------------------------------------------------------------------------
 
 
-def _spec_pt():
-    return pl.BlockSpec((BLK, NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+def _spec_pt(width: int = NLIMBS):
+    return pl.BlockSpec((BLK, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
 def _spec_p():
@@ -406,25 +590,31 @@ def _pdbl_rcb_kernel(p_ref, x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref):
     oz_ref[:] = z3.T
 
 
+_KERNELS = {
+    "madd": (_madd_kernel, 5, NLIMBS),
+    "dbl": (_dbl_kernel, 3, NLIMBS),
+    "add": (_add_kernel, 6, NLIMBS),
+    "pmadd_rcb": (_pmadd_rcb_kernel, 5, NLIMBS),
+    "padd_rcb": (_padd_rcb_kernel, 6, NLIMBS),
+    "pdbl_rcb": (_pdbl_rcb_kernel, 3, NLIMBS),
+    "pmadd_rcb_g2": (_pmadd_rcb_g2_kernel, 5, 2 * NLIMBS),
+    "padd_rcb_g2": (_padd_rcb_g2_kernel, 6, 2 * NLIMBS),
+    "pdbl_rcb_g2": (_pdbl_rcb_g2_kernel, 3, 2 * NLIMBS),
+}
+
+
 @functools.lru_cache(maxsize=None)
 def _build(kernel_name: str, n_blocks: int, n_pts: int, interpret: bool):
-    kernel, n_in = {
-        "madd": (_madd_kernel, 5),
-        "dbl": (_dbl_kernel, 3),
-        "add": (_add_kernel, 6),
-        "pmadd_rcb": (_pmadd_rcb_kernel, 5),
-        "padd_rcb": (_padd_rcb_kernel, 6),
-        "pdbl_rcb": (_pdbl_rcb_kernel, 3),
-    }[kernel_name]
-    out3 = tuple(jax.ShapeDtypeStruct((n_pts, NLIMBS), u32) for _ in range(3))
+    kernel, n_in, width = _KERNELS[kernel_name]
+    out3 = tuple(jax.ShapeDtypeStruct((n_pts, width), u32) for _ in range(3))
 
     def call(*arrs):
         return pl.pallas_call(
             kernel,
             out_shape=out3,
             grid=(n_blocks,),
-            in_specs=[_spec_p()] + [_spec_pt() for _ in range(n_in)],
-            out_specs=tuple(_spec_pt() for _ in range(3)),
+            in_specs=[_spec_p()] + [_spec_pt(width) for _ in range(n_in)],
+            out_specs=tuple(_spec_pt(width) for _ in range(3)),
             interpret=interpret,
         )(jnp.asarray(_P_ARR), *arrs)
 
@@ -433,12 +623,13 @@ def _build(kernel_name: str, n_blocks: int, n_pts: int, interpret: bool):
 
 def _run(kernel_name: str, arrs):
     """Flatten batch dims, pad to BLK, run, un-pad."""
+    width = _KERNELS[kernel_name][2]
     shape = arrs[0].shape
-    flat = [a.reshape(-1, NLIMBS) for a in arrs]
+    flat = [a.reshape(-1, width) for a in arrs]
     n = flat[0].shape[0]
     m = ((n + BLK - 1) // BLK) * BLK
     if m != n:
-        flat = [jnp.concatenate([a, jnp.zeros((m - n, NLIMBS), u32)]) for a in flat]
+        flat = [jnp.concatenate([a, jnp.zeros((m - n, width), u32)]) for a in flat]
     call = _build(kernel_name, m // BLK, m, interpret=not _on_tpu())
     outs = call(*flat)
     return tuple(o[:n].reshape(shape) for o in outs)
@@ -466,3 +657,16 @@ def padd_rcb(x1, y1, z1, x2, y2, z2):
 
 def pdbl_rcb(x, y, z):
     return _run("pdbl_rcb", [x, y, z])
+
+
+def pmadd_rcb_g2(x, y, z, ax, ay):
+    """G2 mixed add on (..., 2, 16) Fq2 coordinate arrays."""
+    return _run("pmadd_rcb_g2", [x, y, z, ax, ay])
+
+
+def padd_rcb_g2(x1, y1, z1, x2, y2, z2):
+    return _run("padd_rcb_g2", [x1, y1, z1, x2, y2, z2])
+
+
+def pdbl_rcb_g2(x, y, z):
+    return _run("pdbl_rcb_g2", [x, y, z])

@@ -208,6 +208,45 @@ class PallasProjG1Ops(ProjOps):
 
 PROJ_G1 = PallasProjG1Ops(jf.FqOps, 9, "g1_proj")
 
+
+class PallasProjG2Ops(ProjOps):
+    """BN254 G2 projective ops dispatching large batches to the fused Fq2
+    Pallas RCB kernels. Besides speed, this bounds the MSM program size:
+    the inlined XLA Fq2 formulas made the canonical-scale G2 MSM a ~19 MB
+    MLIR module that OOM-killed the remote compile helper."""
+
+    MIN_LANES = 128
+
+    @staticmethod
+    def _use_pallas(arr) -> bool:
+        from . import pallas_curve as _pc
+
+        if not _pc._on_tpu():
+            return False
+        n = int(np.prod(arr.shape[:-2])) if arr.ndim > 2 else 1
+        return n >= PallasProjG2Ops.MIN_LANES
+
+    def add(self, p: Proj, q: Proj) -> Proj:
+        if self._use_pallas(p.x):
+            from . import pallas_curve as _pc
+
+            return Proj(*_pc.padd_rcb_g2(p.x, p.y, p.z, q.x, q.y, q.z))
+        return super().add(p, q)
+
+    def add_mixed(self, p: Proj, ax, ay) -> Proj:
+        if self._use_pallas(p.x):
+            from . import pallas_curve as _pc
+
+            return Proj(*_pc.pmadd_rcb_g2(p.x, p.y, p.z, ax, ay))
+        return super().add_mixed(p, ax, ay)
+
+    def dbl(self, p: Proj) -> Proj:
+        if self._use_pallas(p.x):
+            from . import pallas_curve as _pc
+
+            return Proj(*_pc.pdbl_rcb_g2(p.x, p.y, p.z))
+        return super().dbl(p)
+
 _PROJ_BLS = None
 
 
@@ -233,12 +272,12 @@ _PROJ_G2 = None
 
 
 def proj_g2() -> ProjOps:
-    """Complete projective ops for G2 (b' = 3/(9+u), so b3 = 9/(9+u)); the
-    generic XLA formulas over Fq2 — no Pallas specialization (G2 MSMs are a
-    small fraction of the G1 work but must not fault at scale)."""
+    """Complete projective ops for G2 (b' = 3/(9+u), so b3 = 9/(9+u));
+    large TPU batches run the fused Fq2 Pallas RCB kernels, everything else
+    the generic XLA formulas over Fq2."""
     global _PROJ_G2
     if _PROJ_G2 is None:
         from .host import B_G2
 
-        _PROJ_G2 = ProjOps(jf.Fq2Ops, B_G2 * 3, "g2_proj")
+        _PROJ_G2 = PallasProjG2Ops(jf.Fq2Ops, B_G2 * 3, "g2_proj")
     return _PROJ_G2

@@ -53,3 +53,35 @@ def test_pallas_point_kernels_match_host():
     assert G1.unpack_jacobian(Jac(*out)) == [ch.pt_dbl(p) if p else None for p in pts]
     out = pc.add(p_jac.x, p_jac.y, p_jac.z, q_jac.x, q_jac.y, q_jac.z)
     assert G1.unpack_jacobian(Jac(*out)) == expected
+
+
+def test_pallas_g2_rcb_kernels_match_host():
+    """Fused Fq2 RCB kernels (G2 MSM hot path) vs host ground truth,
+    including every completeness case: doubling through add, inverse pair,
+    identity accumulator, and the affine (0,0) sentinel."""
+    from hekaton_tpu.curves import pallas_curve as pc
+    from hekaton_tpu.curves.jax_curve import G2
+    from hekaton_tpu.curves.proj import Proj, proj_g2
+
+    pg2 = proj_g2()
+    n = 5
+    ps = [ch.pt_mul(ch.g2_gen(), int(k)) for k in rng.randint(1, 2**30, size=n)]
+    qs = [ch.pt_mul(ch.g2_gen(), int(k)) for k in rng.randint(1, 2**30, size=n)]
+    ps += [ps[0], ps[1], None, ps[2]]
+    qs += [ps[0], ch.pt_neg(ps[1]), qs[0], None]  # dbl, inverse, inf+Q, Q+(0,0)
+    ax, ay = G2.pack_affine(ps)
+    bx, by = G2.pack_affine(qs)
+    P = pg2.from_affine(jnp.asarray(ax), jnp.asarray(ay))
+    Q = pg2.from_affine(jnp.asarray(bx), jnp.asarray(by))
+    expected = [ch.pt_add(p, q) for p, q in zip(ps, qs)]
+
+    out = pc.pmadd_rcb_g2(P.x, P.y, P.z, jnp.asarray(bx), jnp.asarray(by))
+    assert G2.unpack_jacobian(pg2.to_jacobian(Proj(*out))) == expected
+    out = pc.padd_rcb_g2(P.x, P.y, P.z, Q.x, Q.y, Q.z)
+    # from_affine maps the (0,0) sentinel lane to the identity, so the
+    # complete full add agrees with pt_add on every lane including the last
+    assert G2.unpack_jacobian(pg2.to_jacobian(Proj(*out))) == expected
+    out = pc.pdbl_rcb_g2(P.x, P.y, P.z)
+    assert G2.unpack_jacobian(pg2.to_jacobian(Proj(*out))) == [
+        ch.pt_dbl(p) if p else None for p in ps
+    ]
