@@ -437,29 +437,15 @@ def _collapse_columns(curve, d, acc, M: int, NB: int, L: int, N: int, n_in: int,
     return d, acc, M
 
 
-def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: int = 254) -> Jac:
-    """Variable-base MSM structured for TPU — v3.
+def _plan_tpu(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn):
+    """Stages 1-2 of msm_tpu: digit/key extraction, payload-carrying sort,
+    padded-bucket gather-index construction, and the packed point table.
 
-    v3 over the v2 design (msm_tpu_jac below): signed window digits halve
-    the per-window bucket count (2^(c-1)+1 vs 2^c) with negation folded
-    into the precomputed gather indices (the fused table carries x||y and
-    x||-y halves), and ALL group arithmetic runs complete RCB15 projective
-    formulas (curves/proj.py) — 11M mixed adds with no doubling escape and
-    no accumulator edge selects, vs 15+ mul-equivalents for the escaped
-    Jacobian formulas. Structure per level is unchanged: one argsorted
-    key stream for all windows, padded-bucket flat gathers, halving-pair
-    bucket collapse, suffix-scan weighted reduction, device Horner.
-
-    Semantics identical to msm(); returns a Jacobian point. Works for G2 as
-    well (coordinates flattened to (N, 32) rows; generic complete projective
-    formulas over Fq2) — the scatter-flushing msm() path faulted the TPU at
-    canonical-scale G2 batches, so big G2 MSMs must come through here.
-    """
-    from ..curves.proj import proj_for_curve
-
+    Returns (src, table, col_bucket, meta) where src is the (L, ncols) flat
+    row-gather plan into `table` (64 B G1 / 128 B G2 rows, x||y and x||-y
+    halves + infinity row), col_bucket the sorted bucket id per column, and
+    meta the static (W, B, NB, n_in, ncols, nlimb) tuple."""
     N = ax.shape[0]
-    proj = proj_for_curve(curve)
-    f = proj.f
     coord_shape = ax.shape[1:]
     mag, neg = signed_digits_for_windows(scalars, c, nbits)  # (W, N) each
     W = mag.shape[0]
@@ -504,7 +490,6 @@ def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: i
     # after the gather is two vector ops. G2's (2, 16) Fq2 coordinates are
     # flattened to 32 limbs for the table and restored after the gather.
     nlimb = int(np.prod(coord_shape))
-    half = nlimb // 2
 
     def _flat(a):
         return a.reshape(a.shape[0], nlimb)
@@ -513,7 +498,7 @@ def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: i
         a = _flat(a)
         return a[:, 0::2] | (a[:, 1::2] << 16)
 
-    ay_neg = jf.neg(f.spec, ay)
+    ay_neg = neg_fn(ay)
     pax = _pack2(ax)
     table = jnp.concatenate(
         [
@@ -523,31 +508,86 @@ def msm_tpu(curve: CurveOps, ax, ay, scalars, c: int = 13, L: int = 32, nbits: i
         ],
         axis=0,
     )
+    return src, table, col_bucket, (W, B, NB, n_in, ncols, nlimb)
+
+
+def _level1_tpu(proj, src, table, ncols: int, L: int, coord_shape, depth: int = 1):
+    """Stage 3 of msm_tpu: the row-gather + mixed-add accumulation level.
+
+    Software-pipelined: iteration r gathers the rows for r+depth while the
+    RCB adds consume the rows gathered `depth` iterations ago, so the row
+    fetches (latency-bound, ~24 ns/row) overlap the VPU work instead of
+    serializing with it (measured: pure gather 0.53 s vs unpipelined
+    level-1 1.25 s). depth>1 gives the XLA scheduler extra slack at the
+    cost of carrying more row buffers."""
+    nlimb = int(np.prod(coord_shape))
+    half = nlimb // 2
 
     def _unpack2(p):
         lo = p & jnp.uint32(0xFFFF)
         hi = p >> 16
         return jnp.stack([lo, hi], axis=-1).reshape((p.shape[0],) + coord_shape)
 
-    # software-pipelined accumulation: iteration r gathers the rows for
-    # r+1 while the RCB adds consume the rows gathered at r, so the row
-    # fetches (latency-bound, ~24 ns/row) overlap the VPU work instead of
-    # serializing with it (measured: pure gather 0.53 s vs level-1 1.25 s)
     def _fetch(rr):
         return table[jax.lax.dynamic_index_in_dim(src, rr, axis=0, keepdims=False)]
 
     def body(rr, carry):
-        acc, rows = carry
-        nxt = _fetch(jnp.minimum(rr + 1, L - 1))
+        acc, bufs = carry
+        nxt = _fetch(jnp.minimum(rr + depth, L - 1))
+        rows = bufs[0]
         acc = proj.add_mixed(acc, _unpack2(rows[:, :half]), _unpack2(rows[:, half:]))
-        return acc, nxt
+        return acc, bufs[1:] + (nxt,)
 
-    acc, _ = jax.lax.fori_loop(0, L, body, (proj.inf((ncols,)), _fetch(0)))
+    init_bufs = tuple(_fetch(min(i, L - 1)) for i in range(depth))
+    acc, _ = jax.lax.fori_loop(0, L, body, (proj.inf((ncols,)), init_bufs))
+    return acc
 
-    d, acc, M = _collapse_columns(proj, col_bucket, acc, ncols, NB, L, N, n_in)
+
+def msm_tpu(
+    curve: CurveOps,
+    ax,
+    ay,
+    scalars,
+    c: int = 13,
+    L: int = 32,
+    nbits: int = 254,
+    depth: int = 1,
+    p_super: int = 3,
+) -> Jac:
+    """Variable-base MSM structured for TPU — v4.
+
+    Over the v2 design (msm_tpu_jac below): signed window digits halve
+    the per-window bucket count (2^(c-1)+1 vs 2^c) with negation folded
+    into the precomputed gather indices (the fused table carries x||y and
+    x||-y halves), and ALL group arithmetic runs complete RCB15 projective
+    formulas (curves/proj.py) — 11M mixed adds with no doubling escape and
+    no accumulator edge selects, vs 15+ mul-equivalents for the escaped
+    Jacobian formulas. v4: payload-carrying sort, software-pipelined
+    level-1, superlevel collapse (see PERFORMANCE.md). Structure per level:
+    one sorted key stream for all windows, padded-bucket flat gathers,
+    stride-doubling bucket collapse, suffix-scan weighted reduction, device
+    Horner.
+
+    Semantics identical to msm(); returns a Jacobian point. Works for G2 as
+    well (coordinates flattened to (N, 32) rows; generic complete projective
+    formulas over Fq2) — the scatter-flushing msm() path faulted the TPU at
+    canonical-scale G2 batches, so big G2 MSMs must come through here.
+    """
+    from ..curves.proj import proj_for_curve
+
+    N = ax.shape[0]
+    proj = proj_for_curve(curve)
+    f = proj.f
+    coord_shape = ax.shape[1:]
+    src, table, col_bucket, (W, B, NB, n_in, ncols, _) = _plan_tpu(
+        ax, ay, scalars, c, L, nbits, lambda y: jf.neg(f.spec, y)
+    )
+    acc = _level1_tpu(proj, src, table, ncols, L, coord_shape, depth=depth)
+
+    d, acc, M = _collapse_columns(proj, col_bucket, acc, ncols, NB, L, N, n_in, p=p_super)
 
     # one column per bucket now: gather into (W*B,) bucket-ordered sums
-    first_pos = jnp.searchsorted(d, ids.astype(jnp.int32), side="left")
+    first_pos = jnp.searchsorted(d, jnp.arange(NB, dtype=jnp.int32), side="left")
     first_pos = jnp.minimum(first_pos, M - 1).astype(jnp.int32)
     buckets = jax.tree.map(lambda a: a[first_pos], acc)
 
