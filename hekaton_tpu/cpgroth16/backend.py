@@ -243,30 +243,40 @@ class TpuBackend:
 
         m = len(a_evals)
 
+        # one compiled program per NTT plan application (not one fused
+        # program with 7 of them): at canonical scale (domain 2^21) the
+        # fused trace exceeded the remote compile tunnel's request-size
+        # limit (HTTP 413), and single-NTT programs are reused across all
+        # three polynomials and across the prover's lifetime anyway.
         @functools.lru_cache(maxsize=None)
-        def _wm_fn(mm):
-            def run(a, b, c):
-                ca = nttm.coset_ntt(nttm.ntt(a, inverse=True))
-                cb = nttm.coset_ntt(nttm.ntt(b, inverse=True))
-                cc = nttm.coset_ntt(nttm.ntt(c, inverse=True))
-                zinv = jf.FR.pack([fr_inv((pow(COSET_GEN, mm, R) - 1) % R)])[0]
-                q = jf.mont_mul(
+        def _wm_fns(mm):
+            f_intt = jax.jit(lambda v: nttm.ntt(v, inverse=True))
+            f_cntt = jax.jit(nttm.coset_ntt)
+            zinv = jf.FR.pack([fr_inv((pow(COSET_GEN, mm, R) - 1) % R)])[0]
+
+            def q_fn(ca, cb, cc):
+                return jf.mont_mul(
                     jf.FR,
                     jf.sub(jf.FR, jf.mont_mul(jf.FR, ca, cb), cc),
                     jnp.asarray(zinv),
                 )
-                return nttm.coset_intt(q)
 
-            return jax.jit(run)
+            f_q = jax.jit(q_fn)
+            f_cintt = jax.jit(nttm.coset_intt)
+            return f_intt, f_cntt, f_q, f_cintt
 
         if not hasattr(self, "_wm_cache"):
             self._wm_cache = {}
         if m not in self._wm_cache:
-            self._wm_cache[m] = _wm_fn(m)
+            self._wm_cache[m] = _wm_fns(m)
+        f_intt, f_cntt, f_q, f_cintt = self._wm_cache[m]
         a = jnp.asarray(jf.FR.pack(a_evals))
         b = jnp.asarray(jf.FR.pack(b_evals))
         c = jnp.asarray(jf.FR.pack(c_evals))
-        h = self._wm_cache[m](a, b, c)
+        ca = f_cntt(f_intt(a))
+        cb = f_cntt(f_intt(b))
+        cc = f_cntt(f_intt(c))
+        h = f_cintt(f_q(ca, cb, cc))
         return jf.FR.unpack(h)[: m - 1]
 
 
