@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--nc", type=int, default=256)
     ap.add_argument("--np", type=int, default=109462)
     ap.add_argument("--idx", type=int, default=1)
+    ap.add_argument("--ckpt", default="", help="pickle path to save/reuse the CRS (setup dominates reruns)")
     args = ap.parse_args()
 
     import jax
@@ -54,9 +55,20 @@ def main():
     n = circ.num_subcircuits()
     lap(f"circuit built: nc={n}, np={args.np}")
 
-    gen = G16ProvingKeyGenerator(circ, backend)
+    import os
+    import pickle
+
     t_setup = time.time()
-    pk = gen.gen_pk(Rng.from_int(50), args.idx)
+    if args.ckpt and os.path.exists(args.ckpt):
+        with open(args.ckpt, "rb") as fh:
+            pk = pickle.load(fh)
+        lap(f"CRS loaded from {args.ckpt}")
+    else:
+        gen = G16ProvingKeyGenerator(circ, backend)
+        pk = gen.gen_pk(Rng.from_int(50), args.idx)
+        if args.ckpt:
+            with open(args.ckpt, "wb") as fh:
+                pickle.dump(pk, fh, protocol=4)
     lap(
         f"CRS for subcircuit {args.idx}: domain={pk.domain_size}, "
         f"ncols={len(pk.a_g)}, setup={time.time()-t_setup:.1f}s"

@@ -244,14 +244,19 @@ class TpuBackend:
         m = len(a_evals)
 
         # one compiled program per NTT plan application (not one fused
-        # program with 7 of them): at canonical scale (domain 2^21) the
-        # fused trace exceeded the remote compile tunnel's request-size
-        # limit (HTTP 413), and single-NTT programs are reused across all
-        # three polynomials and across the prover's lifetime anyway.
-        @functools.lru_cache(maxsize=None)
+        # program with 7 of them), with the twiddle/coset tables passed as
+        # device-resident ARGUMENTS: at canonical scale (domain 2^21) the
+        # closure-captured tables were inlined into the HLO as literal
+        # constants (the four-step cross-twiddle matrix alone is 134 MB) and
+        # the compile request exceeded the remote tunnel's size limit
+        # (HTTP 413). Programs and tables are reused across the three
+        # polynomials and across the prover's lifetime.
         def _wm_fns(mm):
-            f_intt = jax.jit(lambda v: nttm.ntt(v, inverse=True))
-            f_cntt = jax.jit(nttm.coset_ntt)
+            cs_intt = jax.device_put(nttm.ntt_consts(mm, inverse=True))
+            cs_cntt = jax.device_put(nttm.coset_consts(mm, inverse=False))
+            cs_cintt = jax.device_put(nttm.coset_consts(mm, inverse=True))
+            f_intt = jax.jit(lambda v, cs: nttm.ntt(v, inverse=True, consts=cs))
+            f_cntt = jax.jit(lambda v, cs: nttm.coset_ntt(v, consts=cs))
             zinv = jf.FR.pack([fr_inv((pow(COSET_GEN, mm, R) - 1) % R)])[0]
 
             def q_fn(ca, cb, cc):
@@ -262,21 +267,21 @@ class TpuBackend:
                 )
 
             f_q = jax.jit(q_fn)
-            f_cintt = jax.jit(nttm.coset_intt)
-            return f_intt, f_cntt, f_q, f_cintt
+            f_cintt = jax.jit(lambda v, cs: nttm.coset_intt(v, consts=cs))
+            return f_intt, f_cntt, f_q, f_cintt, cs_intt, cs_cntt, cs_cintt
 
         if not hasattr(self, "_wm_cache"):
             self._wm_cache = {}
         if m not in self._wm_cache:
             self._wm_cache[m] = _wm_fns(m)
-        f_intt, f_cntt, f_q, f_cintt = self._wm_cache[m]
+        f_intt, f_cntt, f_q, f_cintt, cs_intt, cs_cntt, cs_cintt = self._wm_cache[m]
         a = jnp.asarray(jf.FR.pack(a_evals))
         b = jnp.asarray(jf.FR.pack(b_evals))
         c = jnp.asarray(jf.FR.pack(c_evals))
-        ca = f_cntt(f_intt(a))
-        cb = f_cntt(f_intt(b))
-        cc = f_cntt(f_intt(c))
-        h = f_cintt(f_q(ca, cb, cc))
+        ca = f_cntt(f_intt(a, cs_intt), cs_cntt)
+        cb = f_cntt(f_intt(b, cs_intt), cs_cntt)
+        cc = f_cntt(f_intt(c, cs_intt), cs_cntt)
+        h = f_cintt(f_q(ca, cb, cc), cs_cintt)
         return jf.FR.unpack(h)[: m - 1]
 
 

@@ -60,13 +60,23 @@ class _BasePlan:
             self.stage_tw.append(jf.FR.pack(tws))
             m *= 2
 
-    def apply(self, x):
+    def consts(self):
+        """Twiddle/permutation arrays as a pytree, so big-n callers can pass
+        them as jit ARGUMENTS instead of closure constants — closure-captured
+        arrays are inlined into the HLO as literals, and at n=2^21 the
+        embedded tables (134 MB cross twiddles alone) exceeded the remote
+        compile tunnel's request-size limit (HTTP 413)."""
+        return {"perm": self.perm.astype(np.int32), "tw": list(self.stage_tw)}
+
+    def apply(self, x, consts=None):
         n = self.n
         batch = x.shape[:-2]
-        x = x[..., self.perm, :]
+        perm = self.perm if consts is None else consts["perm"]
+        tw = self.stage_tw if consts is None else consts["tw"]
+        x = x[..., perm, :]
         m = 1
         while m < n:
-            twj = jnp.asarray(self.stage_tw[(m).bit_length() - 1])
+            twj = jnp.asarray(tw[(m).bit_length() - 1])
             x = x.reshape(batch + (n // (2 * m), 2, m, NLIMBS))
             e = x[..., 0, :, :]
             o = jf.mont_mul(jf.FR, x[..., 1, :, :], twj)
@@ -102,16 +112,27 @@ class _SplitPlan:
         flat = [v for row in rows for v in row]
         self.cross = jf.FR.pack(flat).reshape(n1, n2, NLIMBS)
 
-    def apply(self, x):
+    def consts(self):
+        """See _BasePlan.consts — nested pytree for the recursive structure."""
+        return {
+            "sub1": self.sub1.consts(),
+            "sub2": self.sub2.consts(),
+            "cross": self.cross,
+        }
+
+    def apply(self, x, consts=None):
         n1, n2 = self.n1, self.n2
         batch = x.shape[:-2]
+        cross = self.cross if consts is None else consts["cross"]
+        c1 = None if consts is None else consts["sub1"]
+        c2 = None if consts is None else consts["sub2"]
         x = x.reshape(batch + (n1, n2, NLIMBS))
         # column NTTs (size n1, batched over n2): operate on axis -3
         xt = jnp.swapaxes(x, -3, -2)  # (..., n2, n1, 16)
-        a = self.sub1.apply(xt)
+        a = self.sub1.apply(xt, c1)
         a = jnp.swapaxes(a.reshape(batch + (n2, n1, NLIMBS)), -3, -2)  # (..., n1, n2, 16)
-        t = jf.mont_mul(jf.FR, a, jnp.asarray(self.cross))
-        b = self.sub2.apply(t)  # row NTTs over n2 axis
+        t = jf.mont_mul(jf.FR, a, jnp.asarray(cross))
+        b = self.sub2.apply(t, c2)  # row NTTs over n2 axis
         b = b.reshape(batch + (n1, n2, NLIMBS))
         out = jnp.swapaxes(b, -3, -2)  # X[k1 + n1*k2] = B[k1,k2]
         return out.reshape(batch + (self.n, NLIMBS))
@@ -138,17 +159,29 @@ def _coset_pows(n: int, g: int, inverse: bool):
     return jf.FR.pack(pows)  # numpy; converted per-trace at use site
 
 
-def ntt(x, inverse: bool = False):
-    """Forward/inverse NTT over the size-n subgroup domain; natural order."""
+def ntt(x, inverse: bool = False, consts=None):
+    """Forward/inverse NTT over the size-n subgroup domain; natural order.
+
+    `consts`: optional pytree from ntt_consts(n, inverse) passed through a
+    jit boundary as arguments — required at big n so the twiddle tables are
+    runtime inputs instead of HLO literal constants (see _BasePlan.consts)."""
     n = x.shape[-2]
     omega = root_of_unity(n)
     if inverse:
         omega = fr_inv(omega)
     plan = _make_plan(n, omega)
-    out = plan.apply(x)
+    out = plan.apply(x, consts)
     if inverse:
         out = jf.mont_mul(jf.FR, out, jnp.asarray(_inv_scale(n)))
     return out
+
+
+def ntt_consts(n: int, inverse: bool = False):
+    """Twiddle/permutation pytree (numpy arrays) for ntt(x, inverse, consts)."""
+    omega = root_of_unity(n)
+    if inverse:
+        omega = fr_inv(omega)
+    return _make_plan(n, omega).consts()
 
 
 # Default coset generator: the Fr multiplicative generator candidate 5 works
@@ -156,17 +189,27 @@ def ntt(x, inverse: bool = False):
 COSET_GEN = 5
 
 
-def coset_ntt(x, g: int = COSET_GEN):
-    """Evaluations of the polynomial (coeff form x) over the coset g*H."""
+def coset_ntt(x, g: int = COSET_GEN, consts=None):
+    """Evaluations of the polynomial (coeff form x) over the coset g*H.
+
+    `consts`: optional {"pows": ..., "ntt": ...} pytree from
+    coset_consts(n, g, False), passed as jit arguments at big n."""
     n = x.shape[-2]
-    scaled = jf.mont_mul(jf.FR, x, jnp.asarray(_coset_pows(n, g, False)))
-    return ntt(scaled)
+    pows = _coset_pows(n, g, False) if consts is None else consts["pows"]
+    scaled = jf.mont_mul(jf.FR, x, jnp.asarray(pows))
+    return ntt(scaled, consts=None if consts is None else consts["ntt"])
 
 
-def coset_intt(x, g: int = COSET_GEN):
+def coset_intt(x, g: int = COSET_GEN, consts=None):
     n = x.shape[-2]
-    coeffs = ntt(x, inverse=True)
-    return jf.mont_mul(jf.FR, coeffs, jnp.asarray(_coset_pows(n, g, True)))
+    coeffs = ntt(x, inverse=True, consts=None if consts is None else consts["ntt"])
+    pows = _coset_pows(n, g, True) if consts is None else consts["pows"]
+    return jf.mont_mul(jf.FR, coeffs, jnp.asarray(pows))
+
+
+def coset_consts(n: int, g: int = COSET_GEN, inverse: bool = False):
+    """Consts pytree for coset_ntt (inverse=False) / coset_intt (True)."""
+    return {"pows": _coset_pows(n, g, inverse), "ntt": ntt_consts(n, inverse)}
 
 
 # ---------------------------------------------------------------------------
