@@ -107,9 +107,27 @@ def main():
     pvk = prepare_verifying_key(pk.vk)
     assert verify_proof(pvk, resp1.proof, agg_state.public_inputs), "proof must verify"
     lap("proof verified")
+
+    # steady-state pass: same worker loop again with every executable,
+    # device-resident CRS chunk, and NTT table already in place — this is
+    # the number comparable to the reference's per-proof unit (its workers
+    # hold the PK in RAM and prove hundreds of subcircuits per run)
+    rng2 = Rng.from_int(8)
+    t_s0w = time.time()
+    resp0w, cbw, kappaw = process_stage0_request_get_cb(
+        rng2.fork(b"real"), MerkleTreeCircuit, pk, req0, backend
+    )
+    stage0_warm = time.time() - t_s0w
+    t_s1w = time.time()
+    resp1w = process_stage1_request_with_cb(rng2.fork(b"s1"), cbw, resp0w.com, kappaw, req1)
+    stage1_warm = time.time() - t_s1w
+    assert verify_proof(pvk, resp1w.proof, agg_state.public_inputs), "warm proof must verify"
+    lap(f"steady-state pass: stage0={stage0_warm:.1f}s stage1={stage1_warm:.1f}s (verified)")
+
     print(
         f"\nRESULT nc={n} np={args.np} domain={pk.domain_size} ncols={len(pk.a_g)}: "
         f"stage1_resp={stage1_time:.1f}s stage0_commit={stage0_time:.1f}s "
+        f"steady_state_stage1={stage1_warm:.1f}s steady_state_stage0={stage0_warm:.1f}s "
         f"(reference unit: 1 stage1 resp / 1.5M-constraint subcircuit / 16-core worker)"
     )
 

@@ -164,31 +164,44 @@ class TpuBackend:
 
     def msm(self, vec: PointVec, scalars: list, pad_to: int = 0) -> object:
         """Pads to the next power of two so jit specializations stay few."""
-        import jax
-        import jax.numpy as jnp
-
-        from ..msm.pippenger import pack_scalars
-
         chunk = self.G1_CHUNK if vec.curve.name == "g1" else self.G2_CHUNK
         if len(scalars) > chunk:
             acc = None
             for lo in range(0, len(scalars), chunk):
-                part = self.msm(vec.slice(lo, lo + chunk), scalars[lo : lo + chunk], pad_to=chunk)
+                hi = min(lo + chunk, len(scalars))
+                part = self._msm_chunk(vec, scalars, lo, hi, pad_to=chunk)
                 acc = ch.pt_add(acc, part)
             return acc
+        return self._msm_chunk(vec, scalars, 0, len(scalars), pad_to=pad_to)
+
+    def _packed_scalars(self, scalars: list, lo: int, hi: int, m: int):
+        """Pack+transfer scalars[lo:hi] (padded to m) once per scalar list:
+        the Groth16 A / B-G1 / B-G2 MSMs all run over the same assignment z,
+        so the packed chunks are cached keyed on list identity (a strong ref
+        to the list keeps the identity stable until the next list arrives)."""
+        import jax.numpy as jnp
+
+        from ..msm.pippenger import pack_scalars
+
+        cache = getattr(self, "_sc_cache", None)
+        if cache is None or cache[0] is not scalars:
+            cache = (scalars, {})
+            self._sc_cache = cache
+        key = (lo, hi, m)
+        if key not in cache[1]:
+            part = scalars[lo:hi]
+            sc = pack_scalars(list(part) + [0] * (m - len(part)))
+            cache[1][key] = jnp.asarray(sc)
+        return cache[1][key]
+
+    def _msm_chunk(self, vec: PointVec, scalars: list, lo: int, hi: int, pad_to: int = 0):
+        import jax
 
         curve = vec.curve
-        ax, ay = vec.device_affine()
-        n = len(scalars)
-        m = self._next_pow2(max(n, 4, pad_to))
-        sc = pack_scalars(list(scalars) + [0] * (m - n))
-        if ax.shape[0] < m:
-            pad = m - ax.shape[0]
-            ax = jnp.concatenate([ax, jnp.zeros((pad,) + ax.shape[1:], ax.dtype)])
-            ay = jnp.concatenate([ay, jnp.zeros((pad,) + ay.shape[1:], ay.dtype)])
-        else:
-            ax, ay = ax[:m], ay[:m]
-        out = self._msm_fn(curve.name, large=m >= 4096)(ax, ay, jnp.asarray(sc))
+        m = self._next_pow2(max(hi - lo, 4, pad_to))
+        sc = self._packed_scalars(scalars, lo, hi, m)
+        ax, ay = vec.device_chunk(lo, hi, m)
+        out = self._msm_fn(curve.name, large=m >= 4096)(ax, ay, sc)
         return curve.unpack_jacobian(jax.tree.map(lambda a: a[None], out))[0]
 
     def fixed_base(self, base, scalars: list, g2: bool = False) -> list:
@@ -274,15 +287,21 @@ class TpuBackend:
             self._wm_cache = {}
         if m not in self._wm_cache:
             self._wm_cache[m] = _wm_fns(m)
+        from ..utils.timing import print_timer
+
         f_intt, f_cntt, f_q, f_cintt, cs_intt, cs_cntt, cs_cintt = self._wm_cache[m]
-        a = jnp.asarray(jf.FR.pack(a_evals))
-        b = jnp.asarray(jf.FR.pack(b_evals))
-        c = jnp.asarray(jf.FR.pack(c_evals))
-        ca = f_cntt(f_intt(a, cs_intt), cs_cntt)
-        cb = f_cntt(f_intt(b, cs_intt), cs_cntt)
-        cc = f_cntt(f_intt(c, cs_intt), cs_cntt)
-        h = f_cintt(f_q(ca, cb, cc), cs_cintt)
-        return jf.FR.unpack(h)[: m - 1]
+        with print_timer("wm: pack 3 eval arrays"):
+            a = jnp.asarray(jf.FR.pack(a_evals))
+            b = jnp.asarray(jf.FR.pack(b_evals))
+            c = jnp.asarray(jf.FR.pack(c_evals))
+        with print_timer("wm: device NTTs"):
+            ca = f_cntt(f_intt(a, cs_intt), cs_cntt)
+            cb = f_cntt(f_intt(b, cs_intt), cs_cntt)
+            cc = f_cntt(f_intt(c, cs_intt), cs_cntt)
+            h = f_cintt(f_q(ca, cb, cc), cs_cintt)
+            h.block_until_ready()
+        with print_timer("wm: unpack h"):
+            return jf.FR.unpack(h)[: m - 1]
 
 
 DEFAULT_BACKEND = HostBackend()

@@ -20,6 +20,7 @@ class PointVec:
         self.points = points
         self.curve = curve
         self._device = None
+        self._chunks = {}
 
     def __len__(self):
         return len(self.points)
@@ -39,6 +40,23 @@ class PointVec:
             self._device = (jnp.asarray(ax), jnp.asarray(ay))
         return self._device
 
+    def device_chunk(self, lo: int, hi: int, m: int):
+        """Packed (ax, ay) device arrays for points[lo:hi], zero-padded
+        (= infinity rows) to m rows — memoized on THIS vector, so chunked
+        MSMs over a long-lived proving key pack each chunk once instead of
+        per call (the per-call slice+pack was a canonical-scale hotspot)."""
+        key = (lo, hi, m)
+        if key not in self._chunks:
+            import jax.numpy as jnp
+
+            ax, ay = self.curve.pack_affine(self.points[lo:hi])
+            if ax.shape[0] < m:
+                pad = m - ax.shape[0]
+                ax = np.concatenate([ax, np.zeros((pad,) + ax.shape[1:], ax.dtype)])
+                ay = np.concatenate([ay, np.zeros((pad,) + ay.shape[1:], ay.dtype)])
+            self._chunks[key] = (jnp.asarray(ax), jnp.asarray(ay))
+        return self._chunks[key]
+
     # pickle support for the ProvingKeys package (runtime/keys.py): persist
     # host points + curve name only; device caches are rebuilt lazily
     def __getstate__(self):
@@ -48,6 +66,7 @@ class PointVec:
         self.points = state["points"]
         self.curve = G1 if state["curve_name"] == "g1" else G2
         self._device = None
+        self._chunks = {}
 
 
 def g1vec(points):

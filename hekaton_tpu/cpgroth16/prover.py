@@ -48,41 +48,51 @@ def prove_last_stage(
     backend=DEFAULT_BACKEND,
 ) -> tuple:
     """Returns (A, B, C) group elements (no commitments attached yet)."""
-    circuit.generate_constraints(circuit.last_stage(), cs)
-    if cs.value_only:
-        # fast path: precompiled matrices (generator-attached) provide the
-        # evals AND the satisfiability check against the value-only witness
-        a_evals, b_evals, c_evals = pk.compiled.evals(
-            cs.full_assignment(), pk.domain_size, check=True
-        )
-    else:
-        assert cs.is_satisfied(), f"unsatisfied constraint {cs.which_unsatisfied()}"
-        a_evals, b_evals, c_evals = _matrix_evals(cs, pk.domain_size)
+    from ..utils.timing import print_timer
+
+    with print_timer("prove: synthesize last stage"):
+        circuit.generate_constraints(circuit.last_stage(), cs)
+    with print_timer("prove: matrix evals"):
+        if cs.value_only:
+            # fast path: precompiled matrices (generator-attached) provide the
+            # evals AND the satisfiability check against the value-only witness
+            a_evals, b_evals, c_evals = pk.compiled.evals(
+                cs.full_assignment(), pk.domain_size, check=True
+            )
+        else:
+            assert cs.is_satisfied(), f"unsatisfied constraint {cs.which_unsatisfied()}"
+            a_evals, b_evals, c_evals = _matrix_evals(cs, pk.domain_size)
 
     z = cs.full_assignment()
 
     # A = alpha + <a_g, z> + r*delta_last
-    a_acc = backend.msm(pk.a_g, z)
+    with print_timer("prove: MSM A"):
+        a_acc = backend.msm(pk.a_g, z)
     a_pt = ch.pt_add(ch.pt_add(a_acc, pk.vk.alpha_g), ch.pt_mul(pk.last_delta_g, r))
 
     # B (G2) = beta + <b_h, z> + s*delta_last
-    b_acc_h = backend.msm(pk.b_h, z)
+    with print_timer("prove: MSM B-G2"):
+        b_acc_h = backend.msm(pk.b_h, z)
     b_pt_h = ch.pt_add(ch.pt_add(b_acc_h, pk.vk.beta_h), ch.pt_mul(pk.vk.last_delta_h, s))
 
     # B (G1), only needed when r != 0
     if r % R != 0:
-        b_acc_g = backend.msm(pk.b_g, z)
+        with print_timer("prove: MSM B-G1"):
+            b_acc_g = backend.msm(pk.b_g, z)
         b_pt_g = ch.pt_add(ch.pt_add(b_acc_g, pk.beta_g), ch.pt_mul(pk.last_delta_g, s))
     else:
         b_pt_g = None
 
     # L-aux over the last stage's witness
     last_witness = cs.current_stage_witness()
-    l_aux = backend.msm(pk.last_ck(), last_witness)
+    with print_timer("prove: MSM L"):
+        l_aux = backend.msm(pk.last_ck(), last_witness)
 
     # h query
-    h = backend.witness_map(a_evals, b_evals, c_evals)
-    h_acc = backend.msm(pk.h_g, h)
+    with print_timer("prove: witness map"):
+        h = backend.witness_map(a_evals, b_evals, c_evals)
+    with print_timer("prove: MSM H"):
+        h_acc = backend.msm(pk.h_g, h)
 
     # C = s*A + r*B - r*s*delta_last + l_aux + h_acc
     c_pt = ch.pt_mul(a_pt, s)

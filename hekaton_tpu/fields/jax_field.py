@@ -69,25 +69,50 @@ class FieldSpec:
     def to_mont(self, x: int) -> int:
         return (x % self.modulus) * self.mont_r % self.modulus
 
+    @property
+    def mont_rinv(self) -> int:
+        inv = getattr(self, "_mont_rinv", None)
+        if inv is None:
+            inv = self._mont_rinv = pow(self.mont_r, -1, self.modulus)
+        return inv
+
     def from_mont(self, x: int) -> int:
-        return x * pow(self.mont_r, -1, self.modulus) % self.modulus
+        return x * self.mont_rinv % self.modulus
 
     def pack(self, xs, mont: bool = True) -> np.ndarray:
-        """ints -> (n, 16) uint32 limb array (Montgomery form by default)."""
-        xs = [self.to_mont(x) if mont else x % self.modulus for x in xs]
-        out = np.empty((len(xs), self.nlimbs), dtype=np.uint32)
-        for i, x in enumerate(xs):
-            out[i] = to_limbs(x, self.nlimbs)
-        return out
+        """ints -> (n, 16) uint32 limb array (Montgomery form by default).
+
+        Limb splitting goes through int.to_bytes + one frombuffer view (the
+        per-element 16-shift loop was a canonical-scale hotspot: 2M-element
+        eval/scalar arrays are packed on every prove)."""
+        m, r = self.modulus, self.mont_r
+        nb = self.nlimbs * 2
+        if mont:
+            buf = b"".join(((x % m) * r % m).to_bytes(nb, "little") for x in xs)
+        else:
+            buf = b"".join((x % m).to_bytes(nb, "little") for x in xs)
+        arr = np.frombuffer(buf, dtype="<u2").astype(np.uint32)
+        return arr.reshape(len(xs), self.nlimbs)
 
     def unpack(self, arr, mont: bool = True) -> list:
-        arr = np.asarray(arr)
-        flat = arr.reshape(-1, self.nlimbs)
-        out = []
-        for row in flat:
-            v = from_limbs(row)
-            out.append(self.from_mont(v) if mont else v % self.modulus)
-        return out
+        arr = np.ascontiguousarray(np.asarray(arr).reshape(-1, self.nlimbs))
+        if arr.dtype != np.uint32 or (arr >> 16).any():
+            # non-canonical limbs (>16 bits): slow exact path
+            out = []
+            for row in arr:
+                v = from_limbs(row)
+                out.append(self.from_mont(v) if mont else v % self.modulus)
+            return out
+        b = arr.astype("<u2").tobytes()
+        nb = self.nlimbs * 2
+        m = self.modulus
+        vals = [
+            int.from_bytes(b[i * nb : (i + 1) * nb], "little") for i in range(arr.shape[0])
+        ]
+        if mont:
+            rinv = self.mont_rinv
+            return [v * rinv % m for v in vals]
+        return [v % m for v in vals]
 
 
 FQ = FieldSpec(P, "fq")
@@ -525,12 +550,13 @@ class Fq2Ops:
 
     @staticmethod
     def pack(vals) -> np.ndarray:
-        """vals: list of host Fq2 -> (n, 2, 16) uint32 (Montgomery)."""
-        out = np.empty((len(vals), 2, NLIMBS), dtype=np.uint32)
-        for i, v in enumerate(vals):
-            out[i, 0] = to_limbs(FQ.to_mont(v.c0))
-            out[i, 1] = to_limbs(FQ.to_mont(v.c1))
-        return out
+        """vals: list of host Fq2 -> (n, 2, 16) uint32 (Montgomery).
+        Vectorized through FieldSpec.pack on the two component lists (the
+        per-element loop was a canonical-scale hotspot: G2 CRS chunks pack
+        ~1M coordinates per chunk)."""
+        c0 = FQ.pack([v.c0 for v in vals])
+        c1 = FQ.pack([v.c1 for v in vals])
+        return np.stack([c0, c1], axis=1)
 
     @staticmethod
     def unpack(arr):

@@ -40,3 +40,10 @@ def timer(label: str, buf: TimerBuf | None = None):
             buf.add(label, dt)
         elif _ENABLED:
             print(f"[timer] {label}: {dt * 1000:.1f}ms", flush=True)
+
+
+@contextmanager
+def print_timer(label: str):
+    """timer() that prints when HEKATON_PRINT_TRACE is set (no buffer)."""
+    with timer(label):
+        yield
