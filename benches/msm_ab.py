@@ -1,6 +1,8 @@
 """A/B microbench of MSM designs on the real chip.
 
-Usage: python benches/msm_ab.py [v3|v2|both] [log2n] [c] [L]
+Usage: python benches/msm_ab.py [v5|v4|v2|both|all] [log2n] [c] [L]
+  v5 = batched-affine accumulation, v4 = complete RCB projective (accum
+  A/B of the same v5 pipeline), v2 = unsigned digits + escaped Jacobian.
 Prints per-design wall time + points/sec after a warmup run.
 """
 from __future__ import annotations
@@ -12,10 +14,11 @@ import numpy as np
 
 
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "v3"
+    which = sys.argv[1] if len(sys.argv) > 1 else "v5"
     logn = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     c = int(sys.argv[3]) if len(sys.argv) > 3 else 13
     L = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    G = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     n = 1 << logn
 
     import jax
@@ -34,10 +37,11 @@ def main():
     ax, ay, sc = jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(sc)
 
     designs = {
-        "v3": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L),
+        "v5": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", G=G),
+        "v4": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="proj", G=G),
         "v2": lambda x, y, s: pp.msm_tpu_jac(G1, x, y, s, c=c, L=L),
     }
-    names = ["v3", "v2"] if which == "both" else [which]
+    names = {"both": ["v5", "v4"], "all": ["v5", "v4", "v2"]}.get(which, [which])
     for name in names:
         fn = jax.jit(designs[name])
         # NB: materialize via np.asarray — on the remote (axon) backend

@@ -1,9 +1,10 @@
-"""Stage breakdown of msm_tpu (v4) on the chip: plan (digits + payload sort
-+ index machinery + table pack), level-1 (pipelined gathers + RCB mixed
-adds), and the tail (superlevel collapse + suffix scan + horner) by
-subtraction from the full time. Times the PRODUCTION stage functions
+"""Stage breakdown of msm_tpu on the chip: plan (digits + payload sort
++ index machinery + table pack), level-1 (pipelined gathers + point adds),
+and the tail (superlevel collapse + suffix scan + horner) by subtraction
+from the full time. Times the PRODUCTION stage functions
 (pippenger._plan_tpu / _level1_tpu), not a re-implementation.
-Usage: python benches/msm_breakdown.py [logn c L depth p_super]
+Usage: python benches/msm_breakdown.py [logn c L depth p_super accum]
+  accum: affine (v5, default) | proj (v4 RCB)
 """
 from __future__ import annotations
 
@@ -19,6 +20,7 @@ def main():
     L = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     depth = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     p_super = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    accum = sys.argv[6] if len(sys.argv) > 6 else "affine"
     n = 1 << logn
 
     import jax
@@ -48,6 +50,14 @@ def main():
         src, table, col_bucket, (W, B, NB, n_in, ncols, _) = pp._plan_tpu(
             ax, ay, scalars, c, L, 254, neg_fn
         )
+        if accum == "affine":
+            from hekaton_tpu.curves.affine import AFF_G1, Aff
+
+            step = lambda acc, px, py: AFF_G1.add(acc, Aff(px, py))  # noqa: E731
+            acc = pp._level1_tpu(
+                AFF_G1, src, table, ncols, L, ax.shape[1:], depth=depth, step=step
+            )
+            return jnp.sum(acc.x), jnp.sum(acc.y)
         acc = pp._level1_tpu(PROJ_G1, src, table, ncols, L, ax.shape[1:], depth=depth)
         return jnp.sum(acc.x), jnp.sum(acc.z)
 
@@ -70,10 +80,13 @@ def main():
     t_plan = timed("plan", plan_sum)
     t_l1 = timed("plan+level1", level1)
     t_full = timed(
-        "full", lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, depth=depth, p_super=p_super)
+        "full",
+        lambda x, y, s: pp.msm_tpu(
+            G1, x, y, s, c=c, L=L, depth=depth, p_super=p_super, accum=accum
+        ),
     )
     print(
-        f"breakdown @2^{logn} c={c} L={L} depth={depth} p={p_super}: plan {t_plan:.2f}s | "
+        f"breakdown @2^{logn} c={c} L={L} depth={depth} p={p_super} {accum}: plan {t_plan:.2f}s | "
         f"gather+adds {t_l1-t_plan:.2f}s | tail {t_full-t_l1:.2f}s | full {t_full:.2f}s",
         flush=True,
     )

@@ -334,6 +334,296 @@ def _pdbl_rcb_tiles(x, y, z, p_col):
 
 
 # ---------------------------------------------------------------------------
+# batched-affine bucket accumulation tiles (MSM v5)
+#
+# Affine + affine with a shared batched inversion: ~4 in-kernel multiplies
+# per add (1S prep + 1M + 1S + 1M finish) plus ~3 multiplies amortized in the
+# jax_field.batch_inv product tree — vs 13 for the complete RCB projective
+# mixed add. Completeness is kept branchlessly: (0,0) is the infinity
+# sentinel (y = 0 never occurs for points on prime-order a=0 curves), equal-x
+# lanes route through the tangent (doubling) numerator/denominator, and
+# inverse pairs produce the sentinel. Split into two kernels around the
+# inversion: prep emits (den, num); fin consumes 1/den.
+# ---------------------------------------------------------------------------
+
+
+def _aff_flags(x1, y1, px, py):
+    q_inf = tile_is_zero(py)
+    p_inf = tile_is_zero(y1)
+    dx = tile_sub(px, x1)
+    dy = tile_sub(py, y1)
+    same_x = tile_is_zero(dx)
+    dbl = jnp.logical_and(same_x, tile_is_zero(dy))
+    return q_inf, p_inf, dx, dy, same_x, dbl
+
+
+def _aff_prep_tiles(x1, y1, px, py, p_col):
+    """(den, num) of the affine chord/tangent slope for (x1,y1) + (px,py).
+
+    Generic lanes: den = px - x1, num = py - y1. Doubling lanes (same point):
+    den = 2*y1, num = 3*x1^2. Degenerate lanes (either operand infinite, or
+    inverse pair) get den = 1 so the batched inversion stays well-defined —
+    the finish kernel selects their real result."""
+    q_inf, p_inf, dx, dy, same_x, dbl = _aff_flags(x1, y1, px, py)
+    x1sq = tile_sqr(x1, p_col)
+    num_dbl = tile_add(tile_add(x1sq, x1sq), x1sq)
+    den = tile_select(dbl, tile_add(y1, y1), dx)
+    num = tile_select(dbl, num_dbl, dy)
+    degen = jnp.logical_or(
+        jnp.logical_or(q_inf, p_inf), jnp.logical_and(same_x, jnp.logical_not(dbl))
+    )
+    one = _const_col(_ONE_MONT, x1.shape[1])
+    den = tile_select(degen, one, den)
+    return den, num
+
+
+def _aff_fin_tiles(x1, y1, px, py, inv, num, p_col):
+    """Affine sum from the inverted denominator: lam = num/den,
+    x3 = lam^2 - x1 - x2, y3 = lam*(x1 - x3) - y1; flags recomputed (cheap
+    subs) rather than carried through HBM."""
+    q_inf, p_inf, dx, dy, same_x, dbl = _aff_flags(x1, y1, px, py)
+    lam = tile_mul(num, inv, p_col)
+    x2s = tile_select(dbl, x1, px)
+    x3 = tile_sub(tile_sub(tile_sqr(lam, p_col), x1), x2s)
+    y3 = tile_sub(tile_mul(lam, tile_sub(x1, x3), p_col), y1)
+    inverse = jnp.logical_and(
+        jnp.logical_and(same_x, jnp.logical_not(dbl)),
+        jnp.logical_not(jnp.logical_or(p_inf, q_inf)),
+    )
+    zero = jnp.zeros_like(x3)
+    x3 = tile_select(inverse, zero, x3)
+    y3 = tile_select(inverse, zero, y3)
+    x3 = tile_select(q_inf, x1, x3)
+    y3 = tile_select(q_inf, y1, y3)
+    x3 = tile_select(p_inf, px, x3)
+    y3 = tile_select(p_inf, py, y3)
+    return x3, y3
+
+
+def _aff_den_tiles(x1, y1, px, py, p_col):
+    """The masked slope denominator alone (no squarings): generic = px - x1,
+    doubling = 2*y1, degenerate (either infinity / inverse pair) = 1."""
+    q_inf, p_inf, dx, dy, same_x, dbl = _aff_flags(x1, y1, px, py)
+    den = tile_select(dbl, tile_add(y1, y1), dx)
+    degen = jnp.logical_or(
+        jnp.logical_or(q_inf, p_inf), jnp.logical_and(same_x, jnp.logical_not(dbl))
+    )
+    return tile_select(degen, _const_col(_ONE_MONT, x1.shape[1]), den)
+
+
+def _aff_root_kernel(p_ref, x1_ref, y1_ref, px_ref, py_ref, root_ref):
+    """Fused-affine kernel A: per-block product-tree ROOT of the masked
+    denominators. The caller inverts the (n_blocks,) roots with one fused
+    Fermat sweep; kernel B walks the tree back down. Halving is by
+    contiguous halves (lane-aligned), not adjacent pairs. The roots array
+    rides as ONE full-size block (TPU rejects (1, 16) output blocks); each
+    grid step dynamic-stores its row."""
+    p_col = p_ref[:]
+    den = _aff_den_tiles(x1_ref[:].T, y1_ref[:].T, px_ref[:].T, py_ref[:].T, p_col)
+    cur = den
+    while cur.shape[1] > 1:
+        half = cur.shape[1] // 2
+        cur = tile_mul(cur[:, :half], cur[:, half:], p_col)
+    root_ref[pl.ds(pl.program_id(0), 1), :] = cur.T
+
+
+def _aff_fin_tree_kernel(p_ref, x1_ref, y1_ref, px_ref, py_ref, rinv_ref, ox_ref, oy_ref):
+    """Fused-affine kernel B: recompute the denominator tree (cheaper than
+    round-tripping the levels through HBM), walk down from the inverted
+    root to per-lane 1/den, then finish the complete affine add."""
+    p_col = p_ref[:]
+    x1, y1 = x1_ref[:].T, y1_ref[:].T
+    px, py = px_ref[:].T, py_ref[:].T
+    den = _aff_den_tiles(x1, y1, px, py, p_col)
+    levels = []
+    cur = den
+    while cur.shape[1] > 1:
+        half = cur.shape[1] // 2
+        left, right = cur[:, :half], cur[:, half:]
+        levels.append((left, right))
+        cur = tile_mul(left, right, p_col)
+    inv = rinv_ref[pl.ds(pl.program_id(0), 1), :].T  # (16, 1)
+    for left, right in reversed(levels):
+        il = tile_mul(inv, right, p_col)
+        ir = tile_mul(inv, left, p_col)
+        inv = jnp.concatenate([il, ir], axis=1)
+    # num as in _aff_prep_tiles, then the shared finish
+    _, _, _, dy, _, dbl = _aff_flags(x1, y1, px, py)
+    x1sq = tile_sqr(x1, p_col)
+    num = tile_select(dbl, tile_add(tile_add(x1sq, x1sq), x1sq), dy)
+    x3, y3 = _aff_fin_tiles(x1, y1, px, py, inv, num, p_col)
+    ox_ref[:] = x3.T
+    oy_ref[:] = y3.T
+
+
+def _unpack_rows_tiles(rows_t):
+    """(16, BLK) packed 64 B table rows (2 limbs/u32: 8 words x || 8 words y)
+    -> ((16, BLK) px, (16, BLK) py) canonical limb tiles. In-kernel this is
+    16 mask/shift row ops — the XLA-side unpack was a minor-dim interleave
+    relayout materialized through HBM on every level-1 step."""
+    px_rows, py_rows = [], []
+    for i in range(8):
+        r = rows_t[i : i + 1]
+        px_rows += [r & MASK, r >> LIMB_BITS]
+    for i in range(8, 16):
+        r = rows_t[i : i + 1]
+        py_rows += [r & MASK, r >> LIMB_BITS]
+    return jnp.concatenate(px_rows, axis=0), jnp.concatenate(py_rows, axis=0)
+
+
+def _aff_root_packed_kernel(p_ref, x1_ref, y1_ref, rows_ref, root_ref):
+    p_col = p_ref[:]
+    px, py = _unpack_rows_tiles(rows_ref[:].T)
+    den = _aff_den_tiles(x1_ref[:].T, y1_ref[:].T, px, py, p_col)
+    cur = den
+    while cur.shape[1] > 1:
+        half = cur.shape[1] // 2
+        cur = tile_mul(cur[:, :half], cur[:, half:], p_col)
+    root_ref[pl.ds(pl.program_id(0), 1), :] = cur.T
+
+
+def _aff_fin_tree_packed_kernel(p_ref, x1_ref, y1_ref, rows_ref, rinv_ref, ox_ref, oy_ref):
+    p_col = p_ref[:]
+    x1, y1 = x1_ref[:].T, y1_ref[:].T
+    px, py = _unpack_rows_tiles(rows_ref[:].T)
+    den = _aff_den_tiles(x1, y1, px, py, p_col)
+    levels = []
+    cur = den
+    while cur.shape[1] > 1:
+        half = cur.shape[1] // 2
+        left, right = cur[:, :half], cur[:, half:]
+        levels.append((left, right))
+        cur = tile_mul(left, right, p_col)
+    inv = rinv_ref[pl.ds(pl.program_id(0), 1), :].T
+    for left, right in reversed(levels):
+        il = tile_mul(inv, right, p_col)
+        ir = tile_mul(inv, left, p_col)
+        inv = jnp.concatenate([il, ir], axis=1)
+    _, _, _, dy, _, dbl = _aff_flags(x1, y1, px, py)
+    x1sq = tile_sqr(x1, p_col)
+    num = tile_select(dbl, tile_add(tile_add(x1sq, x1sq), x1sq), dy)
+    x3, y3 = _aff_fin_tiles(x1, y1, px, py, inv, num, p_col)
+    ox_ref[:] = x3.T
+    oy_ref[:] = y3.T
+
+
+@functools.lru_cache(maxsize=None)
+def _build_aff_fused_packed(n_blocks: int, n_pts: int, interpret: bool):
+    root_spec = pl.BlockSpec((n_blocks, NLIMBS), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    def call_root(*arrs):
+        return pl.pallas_call(
+            _aff_root_packed_kernel,
+            out_shape=jax.ShapeDtypeStruct((n_blocks, NLIMBS), u32),
+            grid=(n_blocks,),
+            in_specs=[_spec_p()] + [_spec_pt() for _ in range(3)],
+            out_specs=root_spec,
+            interpret=interpret,
+        )(jnp.asarray(_P_ARR), *arrs)
+
+    def call_fin(*arrs):
+        return pl.pallas_call(
+            _aff_fin_tree_packed_kernel,
+            out_shape=tuple(jax.ShapeDtypeStruct((n_pts, NLIMBS), u32) for _ in range(2)),
+            grid=(n_blocks,),
+            in_specs=[_spec_p()] + [_spec_pt() for _ in range(3)] + [root_spec],
+            out_specs=(_spec_pt(), _spec_pt()),
+            interpret=interpret,
+        )(jnp.asarray(_P_ARR), *arrs)
+
+    return call_root, call_fin
+
+
+def aff_add_mixed_packed(x1, y1, rows):
+    """Complete batched-affine (x1,y1) + unpack(rows): the level-1 hot op.
+    `rows` are 64 B packed x||y table rows ((n, 16) u32, 2 limbs/word);
+    unpacking happens inside the kernels."""
+    from ..fields import jax_field as jf
+
+    shape = x1.shape
+    flat = [a.reshape(-1, NLIMBS) for a in (x1, y1, rows)]
+    n = flat[0].shape[0]
+    m = ((n + BLK - 1) // BLK) * BLK
+    if m != n:
+        flat = [jnp.concatenate([a, jnp.zeros((m - n, NLIMBS), u32)]) for a in flat]
+    call_root, call_fin = _build_aff_fused_packed(m // BLK, m, interpret=not _on_tpu())
+    roots = call_root(*flat)
+    rinv = jf.batch_inv(jf.FQ, roots)
+    x3, y3 = call_fin(*flat, rinv)
+    return x3[:n].reshape(shape), y3[:n].reshape(shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_aff_fused(n_blocks: int, n_pts: int, interpret: bool):
+    # the (n_blocks, 16) roots array travels whole (constant index map):
+    # 46 KB of VMEM at 2^20-scale widths, far below per-row block minimums
+    root_spec = pl.BlockSpec((n_blocks, NLIMBS), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    def call_root(*arrs):
+        return pl.pallas_call(
+            _aff_root_kernel,
+            out_shape=jax.ShapeDtypeStruct((n_blocks, NLIMBS), u32),
+            grid=(n_blocks,),
+            in_specs=[_spec_p()] + [_spec_pt() for _ in range(4)],
+            out_specs=root_spec,
+            interpret=interpret,
+        )(jnp.asarray(_P_ARR), *arrs)
+
+    def call_fin(*arrs):
+        return pl.pallas_call(
+            _aff_fin_tree_kernel,
+            out_shape=tuple(jax.ShapeDtypeStruct((n_pts, NLIMBS), u32) for _ in range(2)),
+            grid=(n_blocks,),
+            in_specs=[_spec_p()] + [_spec_pt() for _ in range(4)] + [root_spec],
+            out_specs=(_spec_pt(), _spec_pt()),
+            interpret=interpret,
+        )(jnp.asarray(_P_ARR), *arrs)
+
+    return call_root, call_fin
+
+
+def aff_add_fused(x1, y1, px, py):
+    """Complete batched-affine add, fully fused: kernel A (denominator
+    product-tree roots) -> one Fermat-kernel batch inversion of the roots ->
+    kernel B (tree walk-down + affine finish). Three launches per call —
+    same launch structure as one RCB kernel, at ~8 in-kernel multiplies per
+    lane instead of 13 (and 2-coordinate accumulators)."""
+    from ..fields import jax_field as jf
+
+    shape = x1.shape
+    flat = [a.reshape(-1, NLIMBS) for a in (x1, y1, px, py)]
+    n = flat[0].shape[0]
+    m = ((n + BLK - 1) // BLK) * BLK
+    if m != n:
+        flat = [jnp.concatenate([a, jnp.zeros((m - n, NLIMBS), u32)]) for a in flat]
+    call_root, call_fin = _build_aff_fused(m // BLK, m, interpret=not _on_tpu())
+    roots = call_root(*flat)
+    rinv = jf.batch_inv(jf.FQ, roots)
+    x3, y3 = call_fin(*flat, rinv)
+    return x3[:n].reshape(shape), y3[:n].reshape(shape)
+
+
+def _aff_prep_kernel(p_ref, x1_ref, y1_ref, px_ref, py_ref, den_ref, num_ref):
+    den, num = _aff_prep_tiles(x1_ref[:].T, y1_ref[:].T, px_ref[:].T, py_ref[:].T, p_ref[:])
+    den_ref[:] = den.T
+    num_ref[:] = num.T
+
+
+def _aff_fin_kernel(p_ref, x1_ref, y1_ref, px_ref, py_ref, inv_ref, num_ref, ox_ref, oy_ref):
+    x3, y3 = _aff_fin_tiles(
+        x1_ref[:].T,
+        y1_ref[:].T,
+        px_ref[:].T,
+        py_ref[:].T,
+        inv_ref[:].T,
+        num_ref[:].T,
+        p_ref[:],
+    )
+    ox_ref[:] = x3.T
+    oy_ref[:] = y3.T
+
+
+# ---------------------------------------------------------------------------
 # G2: Fq2 tiles (pairs of (16, BLK) component tiles) + complete RCB kernels
 # ---------------------------------------------------------------------------
 
@@ -591,30 +881,32 @@ def _pdbl_rcb_kernel(p_ref, x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref):
 
 
 _KERNELS = {
-    "madd": (_madd_kernel, 5, NLIMBS),
-    "dbl": (_dbl_kernel, 3, NLIMBS),
-    "add": (_add_kernel, 6, NLIMBS),
-    "pmadd_rcb": (_pmadd_rcb_kernel, 5, NLIMBS),
-    "padd_rcb": (_padd_rcb_kernel, 6, NLIMBS),
-    "pdbl_rcb": (_pdbl_rcb_kernel, 3, NLIMBS),
-    "pmadd_rcb_g2": (_pmadd_rcb_g2_kernel, 5, 2 * NLIMBS),
-    "padd_rcb_g2": (_padd_rcb_g2_kernel, 6, 2 * NLIMBS),
-    "pdbl_rcb_g2": (_pdbl_rcb_g2_kernel, 3, 2 * NLIMBS),
+    "madd": (_madd_kernel, 5, NLIMBS, 3),
+    "dbl": (_dbl_kernel, 3, NLIMBS, 3),
+    "add": (_add_kernel, 6, NLIMBS, 3),
+    "pmadd_rcb": (_pmadd_rcb_kernel, 5, NLIMBS, 3),
+    "padd_rcb": (_padd_rcb_kernel, 6, NLIMBS, 3),
+    "pdbl_rcb": (_pdbl_rcb_kernel, 3, NLIMBS, 3),
+    "pmadd_rcb_g2": (_pmadd_rcb_g2_kernel, 5, 2 * NLIMBS, 3),
+    "padd_rcb_g2": (_padd_rcb_g2_kernel, 6, 2 * NLIMBS, 3),
+    "pdbl_rcb_g2": (_pdbl_rcb_g2_kernel, 3, 2 * NLIMBS, 3),
+    "aff_prep": (_aff_prep_kernel, 4, NLIMBS, 2),
+    "aff_fin": (_aff_fin_kernel, 6, NLIMBS, 2),
 }
 
 
 @functools.lru_cache(maxsize=None)
 def _build(kernel_name: str, n_blocks: int, n_pts: int, interpret: bool):
-    kernel, n_in, width = _KERNELS[kernel_name]
-    out3 = tuple(jax.ShapeDtypeStruct((n_pts, width), u32) for _ in range(3))
+    kernel, n_in, width, n_out = _KERNELS[kernel_name]
+    outs = tuple(jax.ShapeDtypeStruct((n_pts, width), u32) for _ in range(n_out))
 
     def call(*arrs):
         return pl.pallas_call(
             kernel,
-            out_shape=out3,
+            out_shape=outs,
             grid=(n_blocks,),
             in_specs=[_spec_p()] + [_spec_pt(width) for _ in range(n_in)],
-            out_specs=tuple(_spec_pt(width) for _ in range(3)),
+            out_specs=tuple(_spec_pt(width) for _ in range(n_out)),
             interpret=interpret,
         )(jnp.asarray(_P_ARR), *arrs)
 
@@ -657,6 +949,16 @@ def padd_rcb(x1, y1, z1, x2, y2, z2):
 
 def pdbl_rcb(x, y, z):
     return _run("pdbl_rcb", [x, y, z])
+
+
+def aff_prep(x1, y1, px, py):
+    """(den, num) for the batched-affine add (MSM v5 accumulation)."""
+    return _run("aff_prep", [x1, y1, px, py])
+
+
+def aff_fin(x1, y1, px, py, inv, num):
+    """Affine sum (x3, y3) from the batch-inverted denominator."""
+    return _run("aff_fin", [x1, y1, px, py, inv, num])
 
 
 def pmadd_rcb_g2(x, y, z, ax, ay):

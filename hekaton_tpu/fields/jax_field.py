@@ -380,6 +380,66 @@ def mont_inv(spec: FieldSpec, a):
     return select(is_zero(spec, a), jnp.zeros_like(a), acc)
 
 
+def batch_inv(spec: FieldSpec, a, pallas_min: int = 2048):
+    """Simultaneous inversion of a batch via a binary product tree:
+    ~3 multiplies per element + ONE Fermat inversion at the root
+    (Montgomery's trick, log-depth form for a vector machine).
+
+    a: (..., nlimbs) nonzero Montgomery elements — callers must mask
+    degenerate lanes to 1 first (inv(0) = 0 is NOT preserved here, unlike
+    mont_inv). Large levels dispatch to the fused Pallas CIOS kernel on TPU;
+    small levels and other backends use the XLA formulas.
+    """
+    shape = a.shape
+    nl = spec.nlimbs
+    a2 = a.reshape(-1, nl)
+    M = a2.shape[0]
+    Mp = 1 << max(0, (M - 1).bit_length())
+    if Mp > M:
+        ones = jnp.broadcast_to(jnp.asarray(spec.one_mont, u32), (Mp - M, nl))
+        a2 = jnp.concatenate([a2, ones])
+
+    use_pallas = nl == NLIMBS and _pallas_available()
+
+    def mul(x, y):
+        if use_pallas and x.shape[0] >= pallas_min:
+            from .pallas_field import mont_mul_pallas
+
+            return mont_mul_pallas(spec, x, y)
+        return mont_mul(spec, x, y)
+
+    # with the fused in-kernel Fermat available, stop the tree once the
+    # remainder fits one kernel block — the XLA-loop Fermat at width 1 costs
+    # ~254 fori iterations of tiny ops, far more than one fused sweep
+    stop = 1024 if use_pallas else 1
+    levels = []
+    cur = a2
+    while cur.shape[0] > stop:
+        lo, hi = cur[0::2], cur[1::2]
+        levels.append((lo, hi))
+        cur = mul(lo, hi)
+    if use_pallas:
+        from .pallas_field import fermat_inv_pallas
+
+        inv = fermat_inv_pallas(spec, cur)
+    else:
+        inv = mont_inv(spec, cur)
+    for lo, hi in reversed(levels):
+        ilo = mul(inv, hi)
+        ihi = mul(inv, lo)
+        k = lo.shape[0]
+        inv = jnp.stack([ilo, ihi], axis=1).reshape(2 * k, nl)
+    return inv[:M].reshape(shape)
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_available() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def mont_pow_const(spec: FieldSpec, a, exponent: int):
     """a^exponent for a static exponent (device, branchless)."""
     ebits = jnp.asarray(

@@ -131,6 +131,123 @@ def _on_tpu() -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# In-kernel Fermat inversion: a^(p-2) with the whole square-and-multiply
+# chain in VMEM — ONE launch instead of ~254 fori iterations of XLA ops.
+# Used by jax_field.batch_inv as the tree root stage (widths <= BLK), where
+# the XLA-loop Fermat would dominate the per-call overhead.
+# ---------------------------------------------------------------------------
+
+
+def _tile_mul_generic(a, b, p_col, nl, ninv0):
+    """(nl, blk) CIOS Montgomery product — the _kernel body as a reusable
+    tile function (generic over the limb count)."""
+    blk = a.shape[1]
+    zero_row = jnp.zeros((1, blk), u32)
+
+    def at_lo(x):
+        return jnp.concatenate([x, zero_row], axis=0)
+
+    def at_hi(x):
+        return jnp.concatenate([zero_row, x], axis=0)
+
+    t = jnp.zeros((nl + 1, blk), u32)
+    for i in range(nl):
+        prod = a[i : i + 1, :] * b
+        plo = prod & MASK
+        phi = prod >> LIMB_BITS
+        m = ((t[0:1, :] + plo[0:1, :]) * np.uint32(ninv0)) & MASK
+        q = m * p_col
+        t = t + at_lo(plo + (q & MASK)) + at_hi(phi + (q >> LIMB_BITS))
+        carry = t[0:1, :] >> LIMB_BITS
+        t = jnp.concatenate([t[1:2, :] + carry, t[2:, :], zero_row], axis=0)
+
+    out_rows = []
+    carry = jnp.zeros((1, blk), u32)
+    for k in range(nl):
+        v = t[k : k + 1, :] + carry
+        out_rows.append(v & MASK)
+        carry = v >> LIMB_BITS
+    r = jnp.concatenate(out_rows, axis=0)
+    top = carry
+
+    borrow = jnp.zeros((1, blk), u32)
+    diff_rows = []
+    for k in range(nl):
+        d = r[k : k + 1, :] - p_col[k : k + 1, :] - borrow
+        diff_rows.append(d & MASK)
+        borrow = (d >> LIMB_BITS) & 1
+    diff = jnp.concatenate(diff_rows, axis=0)
+    take_diff = jnp.logical_or(top == 1, borrow == 0)
+    return jnp.where(take_diff, diff, r)
+
+
+def _fermat_kernel(bits_ref, p_ref, a_ref, o_ref, *, nl, ninv0, one_mont, nbits):
+    base0 = a_ref[:].T  # (nl, blk)
+    blk = base0.shape[1]
+    p_col = p_ref[:]
+    one = jnp.concatenate(
+        [jnp.full((1, blk), np.uint32(v), u32) for v in one_mont], axis=0
+    )
+
+    def body(i, carry):
+        acc, base = carry
+        mul = _tile_mul_generic(acc, base, p_col, nl, ninv0)
+        acc = jnp.where(bits_ref[i] == 1, mul, acc)
+        base = _tile_mul_generic(base, base, p_col, nl, ninv0)
+        return acc, base
+
+    acc, _ = jax.lax.fori_loop(0, nbits, body, (one, base0))
+    o_ref[:] = acc.T
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fermat(modulus: int, name: str, n_blocks: int, interpret: bool):
+    spec = FieldSpec(modulus, name)
+    nl = spec.nlimbs
+    kern = functools.partial(
+        _fermat_kernel,
+        nl=nl,
+        ninv0=int(spec.ninv_limbs[0]),
+        one_mont=tuple(int(x) for x in spec.one_mont),
+        nbits=int(spec.inv_exp_bits.shape[0]),
+    )
+    p_arr = np.asarray(spec.p_limbs, np.uint32).reshape(nl, 1)
+    bits = np.asarray(spec.inv_exp_bits, np.int32)
+
+    def call(a):
+        n = a.shape[0]
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n, nl), u32),
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((nl, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLK, nl), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BLK, nl), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(jnp.asarray(bits), jnp.asarray(p_arr), a)
+
+    return call
+
+
+def fermat_inv_pallas(spec: FieldSpec, a):
+    """Batched a^(p-2) (Montgomery form; inv(0) = 0, matching mont_inv) as a
+    single fused kernel. Intended for narrow batches (tree roots): blocks run
+    sequentially, each paying the full 2x~bitlen in-VMEM multiply chain."""
+    a = jnp.asarray(a, u32)
+    orig_shape = a.shape
+    a2 = a.reshape(-1, spec.nlimbs)
+    n = a2.shape[0]
+    m = ((n + BLK - 1) // BLK) * BLK
+    if m != n:
+        a2 = jnp.concatenate([a2, jnp.zeros((m - n, spec.nlimbs), u32)])
+    call = _build_fermat(spec.modulus, spec.name, m // BLK, interpret=not _on_tpu())
+    return call(a2)[:n].reshape(orig_shape)
+
+
 def mont_mul_pallas(spec: FieldSpec, a, b):
     """Drop-in for jax_field.mont_mul on (n, 16) u32 Montgomery operands.
 

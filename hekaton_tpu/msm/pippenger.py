@@ -511,35 +511,48 @@ def _plan_tpu(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn):
     return src, table, col_bucket, (W, B, NB, n_in, ncols, nlimb)
 
 
-def _level1_tpu(proj, src, table, ncols: int, L: int, coord_shape, depth: int = 1):
-    """Stage 3 of msm_tpu: the row-gather + mixed-add accumulation level.
+def _level1_tpu(
+    ops, src, table, ncols: int, L: int, coord_shape, depth: int = 1, step=None, G: int = 1
+):
+    """Stage 3 of msm_tpu: the row-gather + accumulate level.
 
-    Software-pipelined: iteration r gathers the rows for r+depth while the
-    RCB adds consume the rows gathered `depth` iterations ago, so the row
-    fetches (latency-bound, ~24 ns/row) overlap the VPU work instead of
-    serializing with it (measured: pure gather 0.53 s vs unpipelined
-    level-1 1.25 s). depth>1 gives the XLA scheduler extra slack at the
-    cost of carrying more row buffers."""
+    Software-pipelined: iteration k gathers the rows for superblock k+depth
+    while the point adds consume the rows gathered `depth` iterations ago,
+    so the row fetches overlap the VPU work instead of serializing with it.
+    `G` rows-per-fetch batches G of the L accumulation steps into ONE flat
+    gather: per-step 738K-row gathers measure ~45-50 ns/row while a single
+    large gather runs ~24 ns/row (per-op ramp-up dominates mid-size
+    gathers — PERFORMANCE.md microprobes), so bigger fetches move the
+    whole level toward the large-gather rate. `step(acc, px, py)` defaults
+    to the RCB projective mixed add; the affine path passes the
+    batched-affine add."""
     nlimb = int(np.prod(coord_shape))
     half = nlimb // 2
+    if step is None:
+        step = ops.add_mixed
+    assert L % G == 0, "rows-per-fetch must divide L"
+    nsuper = L // G
+    src_g = src.reshape(nsuper, G * ncols)
 
     def _unpack2(p):
         lo = p & jnp.uint32(0xFFFF)
         hi = p >> 16
         return jnp.stack([lo, hi], axis=-1).reshape((p.shape[0],) + coord_shape)
 
-    def _fetch(rr):
-        return table[jax.lax.dynamic_index_in_dim(src, rr, axis=0, keepdims=False)]
+    def _fetch(kk):
+        return table[jax.lax.dynamic_index_in_dim(src_g, kk, axis=0, keepdims=False)]
 
-    def body(rr, carry):
+    def body(kk, carry):
         acc, bufs = carry
-        nxt = _fetch(jnp.minimum(rr + depth, L - 1))
+        nxt = _fetch(jnp.minimum(kk + depth, nsuper - 1))
         rows = bufs[0]
-        acc = proj.add_mixed(acc, _unpack2(rows[:, :half]), _unpack2(rows[:, half:]))
+        for g in range(G):
+            blk = rows[g * ncols : (g + 1) * ncols]
+            acc = step(acc, _unpack2(blk[:, :half]), _unpack2(blk[:, half:]))
         return acc, bufs[1:] + (nxt,)
 
-    init_bufs = tuple(_fetch(min(i, L - 1)) for i in range(depth))
-    acc, _ = jax.lax.fori_loop(0, L, body, (proj.inf((ncols,)), init_bufs))
+    init_bufs = tuple(_fetch(min(i, nsuper - 1)) for i in range(depth))
+    acc, _ = jax.lax.fori_loop(0, nsuper, body, (ops.inf((ncols,)), init_bufs))
     return acc
 
 
@@ -553,20 +566,26 @@ def msm_tpu(
     nbits: int = 254,
     depth: int = 1,
     p_super: int = 3,
+    accum: str | None = None,
+    G: int = 1,
 ) -> Jac:
-    """Variable-base MSM structured for TPU — v4.
+    """Variable-base MSM structured for TPU — v5.
 
     Over the v2 design (msm_tpu_jac below): signed window digits halve
     the per-window bucket count (2^(c-1)+1 vs 2^c) with negation folded
     into the precomputed gather indices (the fused table carries x||y and
-    x||-y halves), and ALL group arithmetic runs complete RCB15 projective
-    formulas (curves/proj.py) — 11M mixed adds with no doubling escape and
-    no accumulator edge selects, vs 15+ mul-equivalents for the escaped
-    Jacobian formulas. v4: payload-carrying sort, software-pipelined
-    level-1, superlevel collapse (see PERFORMANCE.md). Structure per level:
-    one sorted key stream for all windows, padded-bucket flat gathers,
-    stride-doubling bucket collapse, suffix-scan weighted reduction, device
-    Horner.
+    x||-y halves); v4 added the payload-carrying sort, software-pipelined
+    level-1 and superlevel collapse (see PERFORMANCE.md). v5: ALL bucket
+    accumulation (level-1, collapse, suffix scan) runs batched COMPLETE
+    affine adds with a shared tree batch-inversion (curves/affine.py) —
+    ~7 field multiplies per accumulated point vs 13 for the complete RCB
+    projective mixed add, and 2-coordinate accumulators instead of 3.
+    `accum`: "affine" (default on G1 curves) or "proj" (the v4 RCB path,
+    kept for A/B benchmarking; always used for G2/Fq2).
+
+    Structure per level: one sorted key stream for all windows,
+    padded-bucket flat gathers, stride-doubling bucket collapse,
+    suffix-scan weighted reduction, device Horner.
 
     Semantics identical to msm(); returns a Jacobian point. Works for G2 as
     well (coordinates flattened to (N, 32) rows; generic complete projective
@@ -578,20 +597,41 @@ def msm_tpu(
     N = ax.shape[0]
     proj = proj_for_curve(curve)
     f = proj.f
+    if accum is None:
+        accum = "affine" if curve.f.ndim == 1 else "proj"
+    assert accum in ("affine", "proj")
+    if curve.f.ndim != 1:
+        accum = "proj"
     coord_shape = ax.shape[1:]
     src, table, col_bucket, (W, B, NB, n_in, ncols, _) = _plan_tpu(
         ax, ay, scalars, c, L, nbits, lambda y: jf.neg(f.spec, y)
     )
-    acc = _level1_tpu(proj, src, table, ncols, L, coord_shape, depth=depth)
+    if accum == "affine":
+        # All accumulation (level-1, collapse, suffix) on batched-affine adds:
+        # the fused kernel pair + per-call root Fermat keeps each add at 3
+        # compact launches, so the traced program stays small even with the
+        # collapse/suffix call sites unrolled (a globally-inlined inversion
+        # tree at every site previously ballooned the MLIR module to ~15 MB
+        # and OOM-killed the TPU compile helper).
+        from ..curves.affine import Aff, aff_for_curve
 
-    d, acc, M = _collapse_columns(proj, col_bucket, acc, ncols, NB, L, N, n_in, p=p_super)
+        ops = aff_for_curve(curve)
+        step = lambda acc, px, py: ops.add(acc, Aff(px, py))  # noqa: E731
+    else:
+        ops = proj
+        step = None
+    acc = _level1_tpu(ops, src, table, ncols, L, coord_shape, depth=depth, step=step, G=G)
+
+    d, acc, M = _collapse_columns(ops, col_bucket, acc, ncols, NB, L, N, n_in, p=p_super)
 
     # one column per bucket now: gather into (W*B,) bucket-ordered sums
     first_pos = jnp.searchsorted(d, jnp.arange(NB, dtype=jnp.int32), side="left")
     first_pos = jnp.minimum(first_pos, M - 1).astype(jnp.int32)
     buckets = jax.tree.map(lambda a: a[first_pos], acc)
 
-    window_sums = _suffix_weighted(proj, buckets, W, B)
+    window_sums = _suffix_weighted(ops, buckets, W, B)
+    if accum == "affine":
+        window_sums = proj.from_affine(window_sums.x, window_sums.y)
 
     def horner(i, a):
         def dbl_body(_, x):
