@@ -37,11 +37,13 @@ def main():
     ax, ay, sc = jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(sc)
 
     designs = {
-        "v5": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", G=G),
-        "v4": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="proj", G=G),
+        "v6": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", level1="mega"),
+        "v6p": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="proj", level1="mega"),
+        "v5": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", G=G, level1="steps"),
+        "v4": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="proj", G=G, level1="steps"),
         "v2": lambda x, y, s: pp.msm_tpu_jac(G1, x, y, s, c=c, L=L),
     }
-    names = {"both": ["v5", "v4"], "all": ["v5", "v4", "v2"]}.get(which, [which])
+    names = {"both": ["v6", "v5"], "all": ["v6", "v6p", "v5", "v4"]}.get(which, [which])
     for name in names:
         fn = jax.jit(designs[name])
         # NB: materialize via np.asarray — on the remote (axon) backend

@@ -51,15 +51,33 @@ def main():
             ax, ay, scalars, c, L, 254, neg_fn
         )
         if accum == "affine":
-            from hekaton_tpu.curves.affine import AFF_G1, Aff
+            from hekaton_tpu.curves.affine import AFF_G1
 
-            step = lambda acc, px, py: AFF_G1.add(acc, Aff(px, py))  # noqa: E731
             acc = pp._level1_tpu(
-                AFF_G1, src, table, ncols, L, ax.shape[1:], depth=depth, step=step
+                AFF_G1, src, table, ncols, L, ax.shape[1:], depth=depth, step=AFF_G1.add_packed
             )
             return jnp.sum(acc.x), jnp.sum(acc.y)
         acc = pp._level1_tpu(PROJ_G1, src, table, ncols, L, ax.shape[1:], depth=depth)
         return jnp.sum(acc.x), jnp.sum(acc.z)
+
+    def collapse(ax, ay, scalars):
+        src, table, col_bucket, (W, B, NB, n_in, ncols, _) = pp._plan_tpu(
+            ax, ay, scalars, c, L, 254, neg_fn
+        )
+        if accum == "affine":
+            from hekaton_tpu.curves.affine import AFF_G1
+
+            ops_ = AFF_G1
+            acc = pp._level1_tpu(
+                ops_, src, table, ncols, L, ax.shape[1:], depth=depth, step=AFF_G1.add_packed
+            )
+        else:
+            ops_ = PROJ_G1
+            acc = pp._level1_tpu(ops_, src, table, ncols, L, ax.shape[1:], depth=depth)
+        d, acc2, M = pp._collapse_columns(
+            ops_, col_bucket, acc, ncols, NB, L, n, n_in, p=p_super
+        )
+        return jnp.sum(d), jnp.sum(acc2.x)
 
     def timed(name, fn):
         f = jax.jit(fn)
@@ -79,6 +97,7 @@ def main():
 
     t_plan = timed("plan", plan_sum)
     t_l1 = timed("plan+level1", level1)
+    t_col = timed("plan+level1+collapse", collapse)
     t_full = timed(
         "full",
         lambda x, y, s: pp.msm_tpu(
@@ -87,7 +106,8 @@ def main():
     )
     print(
         f"breakdown @2^{logn} c={c} L={L} depth={depth} p={p_super} {accum}: plan {t_plan:.2f}s | "
-        f"gather+adds {t_l1-t_plan:.2f}s | tail {t_full-t_l1:.2f}s | full {t_full:.2f}s",
+        f"gather+adds {t_l1-t_plan:.2f}s | collapse {t_col-t_l1:.2f}s | "
+        f"suffix+horner {t_full-t_col:.2f}s | full {t_full:.2f}s",
         flush=True,
     )
 

@@ -37,6 +37,17 @@ class Aff(NamedTuple):
     y: jnp.ndarray
 
 
+def _big_mul(spec, a, b):
+    """mont_mul that dispatches large batches to the Pallas CIOS kernel
+    (the XLA formulas run ~17x slower at MSM widths; the kernel is
+    limb-count-generic, so BLS12-381's 24-limb Fq rides it too)."""
+    if jf._pallas_available() and a.size // spec.nlimbs >= 2048:
+        from ..fields.pallas_field import mont_mul_pallas
+
+        return mont_mul_pallas(spec, a, b)
+    return jf.mont_mul(spec, a, b)
+
+
 class AffineOps:
     """Complete batched-affine ops namespace, templated on prime-field ops.
 
@@ -65,7 +76,9 @@ class AffineOps:
         ny = f.select(self.is_inf(p), f.zeros(p.x.shape[: p.x.ndim - f.ndim]), f.neg(p.y))
         return Aff(p.x, ny)
 
-    # -- the add (generic XLA path; Pallas subclass overrides the kernels) ---
+    # -- the add (generic path; Pallas subclass overrides with fused kernels;
+    # multiplies here dispatch through _big_mul so large batches on curves
+    # without fused kernels — BLS12-381 G1 — still use the Pallas CIOS) ----
     def _prep(self, p: Aff, q: Aff):
         f = self.f
         q_inf = self.is_inf(q)
@@ -74,7 +87,7 @@ class AffineOps:
         dy = f.sub(q.y, p.y)
         same_x = f.is_zero(dx)
         dbl = jnp.logical_and(same_x, f.is_zero(dy))
-        x1sq = f.sqr(p.x)
+        x1sq = _big_mul(f.spec, p.x, p.x)
         num_dbl = f.add(f.add(x1sq, x1sq), x1sq)
         den = f.select(dbl, f.add(p.y, p.y), dx)
         num = f.select(dbl, num_dbl, dy)
@@ -91,10 +104,10 @@ class AffineOps:
         dy = f.sub(q.y, p.y)
         same_x = f.is_zero(dx)
         dbl = jnp.logical_and(same_x, f.is_zero(dy))
-        lam = f.mul(num, inv)
+        lam = _big_mul(f.spec, num, inv)
         x2s = f.select(dbl, p.x, q.x)
-        x3 = f.sub(f.sub(f.sqr(lam), p.x), x2s)
-        y3 = f.sub(f.mul(lam, f.sub(p.x, x3)), p.y)
+        x3 = f.sub(f.sub(_big_mul(f.spec, lam, lam), p.x), x2s)
+        y3 = f.sub(_big_mul(f.spec, lam, f.sub(p.x, x3)), p.y)
         inverse = same_x & ~dbl & ~(p_inf | q_inf)
         batch = p.x.shape[: p.x.ndim - f.ndim]
         zero = f.zeros(batch)
@@ -112,7 +125,40 @@ class AffineOps:
         inv = jf.batch_inv(self.f.spec, den)
         return self._fin(p, q, inv, num)
 
+    def unpack_rows(self, rows) -> Aff:
+        """(n, nlimbs) packed 64 B-style table rows (2 limbs/u32, x || y
+        halves) -> affine point batch with canonical (n, nlimbs) limbs."""
+        nl = self.f.spec.nlimbs
+        xw, yw = rows[..., : nl // 2], rows[..., nl // 2 :]
+
+        def up(p):
+            lo = p & jnp.uint32(0xFFFF)
+            hi = p >> 16
+            return jnp.stack([lo, hi], axis=-1).reshape(p.shape[:-1] + (nl,))
+
+        return Aff(up(xw), up(yw))
+
+    def add_packed(self, p: Aff, rows) -> Aff:
+        """P + unpack(rows) — the MSM level-1 hot op; the Pallas subclass
+        unpacks inside the fused kernels (the XLA unpack is a minor-dim
+        interleave relayout materialized through HBM)."""
+        return self.add(p, self.unpack_rows(rows))
+
     # -- interop --------------------------------------------------------------
+    def from_proj(self, x, y, z) -> Aff:
+        """Batched homogeneous-projective -> affine via ONE tree batch
+        inversion (~3 multiplies/element vs ~380 for vectorized Fermat);
+        z == 0 lanes become the (0,0) sentinel."""
+        f = self.f
+        batch = x.shape[: x.ndim - f.ndim]
+        inf = f.is_zero(z)
+        zs = f.select(inf, f.one(batch), z)
+        zinv = jf.batch_inv(f.spec, zs)
+        ax = _big_mul(f.spec, x, zinv)
+        ay = _big_mul(f.spec, y, zinv)
+        zero = f.zeros(batch)
+        return Aff(f.select(inf, zero, ax), f.select(inf, zero, ay))
+
     def to_jacobian(self, p: Aff):
         from .jax_curve import Jac
 
@@ -144,6 +190,13 @@ class PallasAffG1Ops(AffineOps):
         from . import pallas_curve as _pc
 
         return Aff(*_pc.aff_add_fused(p.x, p.y, q.x, q.y))
+
+    def add_packed(self, p: Aff, rows) -> Aff:
+        if not self._use_pallas(p.x):
+            return super().add_packed(p, rows)
+        from . import pallas_curve as _pc
+
+        return Aff(*_pc.aff_add_mixed_packed(p.x, p.y, rows))
 
 
 AFF_G1 = PallasAffG1Ops(jf.FqOps, "g1_aff")

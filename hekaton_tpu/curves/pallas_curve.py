@@ -456,6 +456,68 @@ def _aff_fin_tree_kernel(p_ref, x1_ref, y1_ref, px_ref, py_ref, rinv_ref, ox_ref
     oy_ref[:] = y3.T
 
 
+def _l1_mega_kernel(p_ref, slab_ref, ox_ref, oy_ref, oz_ref):
+    """Level-1 as ONE kernel: accumulate all L bucket rows of a column block
+    entirely in VMEM. The slab is the pre-gathered point stream laid out
+    (L*16, ncols) so step r's packed rows are the static sublane band
+    [r*16, r*16+16) — no transposes, no per-step HBM round-trips for the
+    accumulator, and Mosaic double-buffers the next block's slab DMA behind
+    the RCB adds. fori_loop keeps the traced program at one add body."""
+    p_col = p_ref[:]
+    blkc = ox_ref.shape[0]
+    L = slab_ref.shape[0] // NLIMBS
+
+    def body(r, acc):
+        x, y, z = acc
+        rows_t = slab_ref[pl.ds(r * NLIMBS, NLIMBS), :]  # (16, BLKC)
+        px, py = _unpack_rows_tiles(rows_t)
+        return _pmadd_rcb_tiles(x, y, z, px, py, p_col)
+
+    one = _const_col(_ONE_MONT, blkc)
+    zero = jnp.zeros((NLIMBS, blkc), u32)
+    x, y, z = jax.lax.fori_loop(0, L, body, (zero, one, zero))
+    ox_ref[:] = x.T
+    oy_ref[:] = y.T
+    oz_ref[:] = z.T
+
+
+MEGA_BLKC = 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _build_l1_mega(n_blocks: int, n_cols: int, L: int, interpret: bool):
+    def call(slab_t):
+        return pl.pallas_call(
+            _l1_mega_kernel,
+            out_shape=tuple(jax.ShapeDtypeStruct((n_cols, NLIMBS), u32) for _ in range(3)),
+            grid=(n_blocks,),
+            in_specs=[
+                _spec_p(),
+                pl.BlockSpec(
+                    (L * NLIMBS, MEGA_BLKC), lambda i: (0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=tuple(
+                pl.BlockSpec((MEGA_BLKC, NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                for _ in range(3)
+            ),
+            interpret=interpret,
+        )(jnp.asarray(_P_ARR), slab_t)
+
+    return call
+
+
+def l1_rcb_mega(slab_t, L: int):
+    """Run the level-1 mega kernel on a (L*16, ncols) transposed slab of
+    packed 64 B rows; ncols must be a multiple of MEGA_BLKC (the plan pads
+    with infinity-row columns). Returns projective (x, y, z) as (ncols, 16)
+    arrays."""
+    ncols = slab_t.shape[1]
+    assert ncols % MEGA_BLKC == 0
+    call = _build_l1_mega(ncols // MEGA_BLKC, ncols, L, interpret=not _on_tpu())
+    return call(slab_t)
+
+
 def _unpack_rows_tiles(rows_t):
     """(16, BLK) packed 64 B table rows (2 limbs/u32: 8 words x || 8 words y)
     -> ((16, BLK) px, (16, BLK) py) canonical limb tiles. In-kernel this is

@@ -399,7 +399,7 @@ def batch_inv(spec: FieldSpec, a, pallas_min: int = 2048):
         ones = jnp.broadcast_to(jnp.asarray(spec.one_mont, u32), (Mp - M, nl))
         a2 = jnp.concatenate([a2, ones])
 
-    use_pallas = nl == NLIMBS and _pallas_available()
+    use_pallas = _pallas_available()  # the CIOS/Fermat kernels are limb-count-generic
 
     def mul(x, y):
         if use_pallas and x.shape[0] >= pallas_min:

@@ -38,8 +38,9 @@ BLK = 1024  # batch lanes per block: (16, 1024) u32 tiles in VMEM
 
 
 def _kernel(p_ref, a_ref, b_ref, o_ref, *, p_limbs, ninv0):
-    # blocks are (BLK, 16); work limbs-first
-    a = a_ref[:].T  # (16, BLK)
+    # blocks are (BLK, nl); work limbs-first (nl = limb count of the field)
+    nl = len(p_limbs)
+    a = a_ref[:].T  # (nl, BLK)
     b = b_ref[:].T
     blk = a.shape[1]
 
@@ -54,10 +55,10 @@ def _kernel(p_ref, a_ref, b_ref, o_ref, *, p_limbs, ninv0):
     def at_hi(x):  # contributes to rows [1, 17)
         return jnp.concatenate([zero_row, x], axis=0)
 
-    t = jnp.zeros((NLIMBS + 1, blk), u32)
-    for i in range(NLIMBS):
+    t = jnp.zeros((nl + 1, blk), u32)
+    for i in range(nl):
         ai = a[i : i + 1, :]  # (1, BLK)
-        prod = ai * b  # (16, BLK) — 16x16-bit products, exact in u32
+        prod = ai * b  # (nl, BLK) — 16x16-bit products, exact in u32
         plo = prod & MASK
         phi = prod >> LIMB_BITS
         # only lo(prod[0]) lands in column 0, so m folds it in directly and
@@ -69,23 +70,23 @@ def _kernel(p_ref, a_ref, b_ref, o_ref, *, p_limbs, ninv0):
         carry = t[0:1, :] >> LIMB_BITS
         t = jnp.concatenate([t[1:2, :] + carry, t[2:, :], zero_row], axis=0)
 
-    # canonicalize the 17 redundant columns (values < 2^23)
+    # canonicalize the nl+1 redundant columns (values < 2^23)
     out_rows = []
     carry = jnp.zeros((1, blk), u32)
-    for k in range(NLIMBS):
+    for k in range(nl):
         v = t[k : k + 1, :] + carry
         out_rows.append(v & MASK)
         carry = v >> LIMB_BITS
     # CIOS bound: result < 2p; top carry folds into a 17th limb, handled by
     # the conditional subtraction below (p < 2^254 so result-with-carry still
     # compares correctly via the borrow chain)
-    r = jnp.concatenate(out_rows, axis=0)  # (16, BLK)
+    r = jnp.concatenate(out_rows, axis=0)  # (nl, BLK)
     top = carry  # (1, BLK), 0 or 1
 
-    # conditional subtract: r - p with borrow chain (16 static steps)
+    # conditional subtract: r - p with borrow chain (nl static steps)
     borrow = jnp.zeros((1, blk), u32)
     diff_rows = []
-    for k in range(NLIMBS):
+    for k in range(nl):
         d = r[k : k + 1, :] - jnp.asarray(p_limbs[k], u32) - borrow
         diff_rows.append(d & MASK)
         borrow = (d >> LIMB_BITS) & 1  # 1 iff wrapped (u32 underflow)
@@ -97,27 +98,28 @@ def _kernel(p_ref, a_ref, b_ref, o_ref, *, p_limbs, ninv0):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(modulus: int, name: str, n_blocks: int, interpret: bool):
-    spec = FieldSpec(modulus, name)
+def _build(modulus: int, name: str, nlimbs: int, n_blocks: int, interpret: bool):
+    spec = FieldSpec(modulus, name, nlimbs=nlimbs)
     p_limbs = tuple(int(x) for x in spec.p_limbs)
     ninv0 = int(spec.ninv_limbs[0])
+    nl = nlimbs
 
     kern = functools.partial(_kernel, p_limbs=p_limbs, ninv0=ninv0)
 
-    p_arr = np.array(p_limbs, dtype=np.uint32).reshape(NLIMBS, 1)
+    p_arr = np.array(p_limbs, dtype=np.uint32).reshape(nl, 1)
 
     def call(a, b):
         n = a.shape[0]
         return pl.pallas_call(
             kern,
-            out_shape=jax.ShapeDtypeStruct((n, NLIMBS), u32),
+            out_shape=jax.ShapeDtypeStruct((n, nl), u32),
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((NLIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLK, NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((BLK, NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nl, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLK, nl), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BLK, nl), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((BLK, NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((BLK, nl), lambda i: (i, 0), memory_space=pltpu.VMEM),
             interpret=interpret,
         )(jnp.asarray(p_arr), a, b)
 
@@ -202,8 +204,8 @@ def _fermat_kernel(bits_ref, p_ref, a_ref, o_ref, *, nl, ninv0, one_mont, nbits)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fermat(modulus: int, name: str, n_blocks: int, interpret: bool):
-    spec = FieldSpec(modulus, name)
+def _build_fermat(modulus: int, name: str, nlimbs: int, n_blocks: int, interpret: bool):
+    spec = FieldSpec(modulus, name, nlimbs=nlimbs)
     nl = spec.nlimbs
     kern = functools.partial(
         _fermat_kernel,
@@ -244,26 +246,27 @@ def fermat_inv_pallas(spec: FieldSpec, a):
     m = ((n + BLK - 1) // BLK) * BLK
     if m != n:
         a2 = jnp.concatenate([a2, jnp.zeros((m - n, spec.nlimbs), u32)])
-    call = _build_fermat(spec.modulus, spec.name, m // BLK, interpret=not _on_tpu())
+    call = _build_fermat(spec.modulus, spec.name, spec.nlimbs, m // BLK, interpret=not _on_tpu())
     return call(a2)[:n].reshape(orig_shape)
 
 
 def mont_mul_pallas(spec: FieldSpec, a, b):
-    """Drop-in for jax_field.mont_mul on (n, 16) u32 Montgomery operands.
+    """Drop-in for jax_field.mont_mul on (n, nlimbs) u32 Montgomery operands.
 
     Pads the batch to a BLK multiple; falls back to interpreter mode off-TPU.
     """
     a = jnp.asarray(a, u32)
     b = jnp.broadcast_to(jnp.asarray(b, u32), a.shape)
     orig_shape = a.shape
-    a2 = a.reshape(-1, NLIMBS)
-    b2 = b.reshape(-1, NLIMBS)
+    nl = spec.nlimbs
+    a2 = a.reshape(-1, nl)
+    b2 = b.reshape(-1, nl)
     n = a2.shape[0]
     m = ((n + BLK - 1) // BLK) * BLK
     if m != n:
         pad = m - n
-        a2 = jnp.concatenate([a2, jnp.zeros((pad, NLIMBS), u32)])
-        b2 = jnp.concatenate([b2, jnp.zeros((pad, NLIMBS), u32)])
-    call = _build(spec.modulus, spec.name, m // BLK, interpret=not _on_tpu())
+        a2 = jnp.concatenate([a2, jnp.zeros((pad, nl), u32)])
+        b2 = jnp.concatenate([b2, jnp.zeros((pad, nl), u32)])
+    call = _build(spec.modulus, spec.name, nl, m // BLK, interpret=not _on_tpu())
     out = call(a2, b2)
     return out[:n].reshape(orig_shape)

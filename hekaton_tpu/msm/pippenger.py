@@ -437,14 +437,20 @@ def _collapse_columns(curve, d, acc, M: int, NB: int, L: int, N: int, n_in: int,
     return d, acc, M
 
 
-def _plan_tpu(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn):
+def _plan_tpu(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn, order: str = "row", col_pad: int = 1):
     """Stages 1-2 of msm_tpu: digit/key extraction, payload-carrying sort,
     padded-bucket gather-index construction, and the packed point table.
 
-    Returns (src, table, col_bucket, meta) where src is the (L, ncols) flat
-    row-gather plan into `table` (64 B G1 / 128 B G2 rows, x||y and x||-y
-    halves + infinity row), col_bucket the sorted bucket id per column, and
-    meta the static (W, B, NB, n_in, ncols, nlimb) tuple."""
+    Returns (src, table, col_bucket, meta) where src is the flat row-gather
+    plan into `table` (64 B G1 / 128 B G2 rows, x||y and x||-y halves +
+    infinity row), col_bucket the sorted bucket id per column, and meta the
+    static (W, B, NB, n_in, ncols, nlimb) tuple. `order` picks the src
+    layout: "row" = (L, ncols) for the per-step gather path, "col" =
+    (ncols, L) for the slab/mega path — column-major also makes the
+    prow composition gather run in L-length sequential bursts instead of
+    fully strided. `col_pad` rounds ncols up to a multiple (kernel block
+    width); pad columns point at the infinity row and carry bucket id NB
+    (the collapse sentinel)."""
     N = ax.shape[0]
     coord_shape = ax.shape[1:]
     mag, neg = signed_digits_for_windows(scalars, c, nbits)  # (W, N) each
@@ -463,7 +469,8 @@ def _plan_tpu(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn):
     sk, prow_u = jax.lax.sort((keys, payload), num_keys=1)
     prow = prow_u.astype(jnp.int32)
     n_in = sk.shape[0]
-    ncols = n_in // L + NB  # static upper bound, exact for any distribution
+    ncols0 = n_in // L + NB  # static upper bound, exact for any distribution
+    ncols = ((ncols0 + col_pad - 1) // col_pad) * col_pad
 
     ids = jnp.arange(NB, dtype=sk.dtype)
     starts = jnp.searchsorted(sk, ids, side="left").astype(u32)
@@ -472,17 +479,26 @@ def _plan_tpu(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn):
     cols_per = jnp.maximum((counts + L - 1) // L, 1)
     col_starts = jnp.concatenate([jnp.zeros(1, u32), jnp.cumsum(cols_per)[:-1].astype(u32)])
     col_idx = jnp.arange(ncols, dtype=u32)
+    pad_col = col_idx >= (col_starts[-1] + cols_per[-1])  # beyond the last real column
     col_bucket = (jnp.searchsorted(col_starts, col_idx, side="right") - 1).astype(jnp.int32)
     within = col_idx - col_starts[col_bucket]
     base = starts[col_bucket] + within * jnp.uint32(L)
-    cnt = counts[col_bucket]
+    cnt = jnp.where(pad_col, 0, counts[col_bucket])
+    col_bucket = jnp.where(pad_col, jnp.int32(NB), col_bucket)
 
-    # flat (L, ncols) source rows in the fused x||y table; invalid -> 2N (inf)
-    r = jnp.arange(L, dtype=u32)[:, None]
-    off = within[None, :] * jnp.uint32(L) + r
-    valid = (off < cnt[None, :]).reshape(-1)
-    src_stream = jnp.where(valid, (base[None, :] + r).reshape(-1), 0).astype(jnp.int32)
-    src = jnp.where(valid, prow[src_stream], 2 * N).reshape(L, ncols)
+    # flat source rows in the fused x||y table; invalid -> 2N (inf)
+    if order == "row":
+        r = jnp.arange(L, dtype=u32)[:, None]
+        off = within[None, :] * jnp.uint32(L) + r
+        valid = (off < cnt[None, :]).reshape(-1)
+        src_stream = jnp.where(valid, (base[None, :] + r).reshape(-1), 0).astype(jnp.int32)
+        src = jnp.where(valid, prow[src_stream], 2 * N).reshape(L, ncols)
+    else:
+        r = jnp.arange(L, dtype=u32)[None, :]
+        off = within[:, None] * jnp.uint32(L) + r
+        valid = (off < cnt[:, None]).reshape(-1)
+        src_stream = jnp.where(valid, (base[:, None] + r).reshape(-1), 0).astype(jnp.int32)
+        src = jnp.where(valid, prow[src_stream], 2 * N).reshape(ncols, L)
 
     # the random row gathers are the level-1 bottleneck (row-latency + bytes
     # bound — PERFORMANCE.md): pack pairs of 16-bit limbs into one u32 so a
@@ -529,15 +545,18 @@ def _level1_tpu(
     nlimb = int(np.prod(coord_shape))
     half = nlimb // 2
     if step is None:
-        step = ops.add_mixed
+
+        def _unpack2(p):
+            lo = p & jnp.uint32(0xFFFF)
+            hi = p >> 16
+            return jnp.stack([lo, hi], axis=-1).reshape((p.shape[0],) + coord_shape)
+
+        def step(acc, blk):
+            return ops.add_mixed(acc, _unpack2(blk[:, :half]), _unpack2(blk[:, half:]))
+
     assert L % G == 0, "rows-per-fetch must divide L"
     nsuper = L // G
     src_g = src.reshape(nsuper, G * ncols)
-
-    def _unpack2(p):
-        lo = p & jnp.uint32(0xFFFF)
-        hi = p >> 16
-        return jnp.stack([lo, hi], axis=-1).reshape((p.shape[0],) + coord_shape)
 
     def _fetch(kk):
         return table[jax.lax.dynamic_index_in_dim(src_g, kk, axis=0, keepdims=False)]
@@ -547,8 +566,7 @@ def _level1_tpu(
         nxt = _fetch(jnp.minimum(kk + depth, nsuper - 1))
         rows = bufs[0]
         for g in range(G):
-            blk = rows[g * ncols : (g + 1) * ncols]
-            acc = step(acc, _unpack2(blk[:, :half]), _unpack2(blk[:, half:]))
+            acc = step(acc, rows[g * ncols : (g + 1) * ncols])
         return acc, bufs[1:] + (nxt,)
 
     init_bufs = tuple(_fetch(min(i, nsuper - 1)) for i in range(depth))
@@ -568,6 +586,7 @@ def msm_tpu(
     p_super: int = 3,
     accum: str | None = None,
     G: int = 1,
+    level1: str | None = None,
 ) -> Jac:
     """Variable-base MSM structured for TPU — v5.
 
@@ -602,10 +621,15 @@ def msm_tpu(
     assert accum in ("affine", "proj")
     if curve.f.ndim != 1:
         accum = "proj"
+    from ..fields.bn254 import P as _P254
+
+    is_bn_g1 = curve.f.ndim == 1 and curve.f.spec.modulus == _P254
+    if level1 is None:
+        level1 = "mega" if is_bn_g1 else "steps"
+    if not is_bn_g1:
+        level1 = "steps"  # the mega kernel is BN254-G1-specialized
     coord_shape = ax.shape[1:]
-    src, table, col_bucket, (W, B, NB, n_in, ncols, _) = _plan_tpu(
-        ax, ay, scalars, c, L, nbits, lambda y: jf.neg(f.spec, y)
-    )
+
     if accum == "affine":
         # All accumulation (level-1, collapse, suffix) on batched-affine adds:
         # the fused kernel pair + per-call root Fermat keeps each add at 3
@@ -613,14 +637,36 @@ def msm_tpu(
         # collapse/suffix call sites unrolled (a globally-inlined inversion
         # tree at every site previously ballooned the MLIR module to ~15 MB
         # and OOM-killed the TPU compile helper).
-        from ..curves.affine import Aff, aff_for_curve
+        from ..curves.affine import aff_for_curve
 
         ops = aff_for_curve(curve)
-        step = lambda acc, px, py: ops.add(acc, Aff(px, py))  # noqa: E731
     else:
         ops = proj
-        step = None
-    acc = _level1_tpu(ops, src, table, ncols, L, coord_shape, depth=depth, step=step, G=G)
+
+    if level1 == "mega":
+        from ..curves import pallas_curve as _pc
+        from ..curves.proj import Proj
+
+        src, table, col_bucket, (W, B, NB, n_in, ncols, nlimb) = _plan_tpu(
+            ax,
+            ay,
+            scalars,
+            c,
+            L,
+            nbits,
+            lambda y: jf.neg(f.spec, y),
+            order="col",
+            col_pad=_pc.MEGA_BLKC,
+        )
+        slab_t = table[src.reshape(-1)].reshape(ncols, L * nlimb).T
+        x, y, z = _pc.l1_rcb_mega(slab_t, L)
+        acc = ops.from_proj(x, y, z) if accum == "affine" else Proj(x, y, z)
+    else:
+        src, table, col_bucket, (W, B, NB, n_in, ncols, _) = _plan_tpu(
+            ax, ay, scalars, c, L, nbits, lambda y: jf.neg(f.spec, y)
+        )
+        step = ops.add_packed if accum == "affine" else None
+        acc = _level1_tpu(ops, src, table, ncols, L, coord_shape, depth=depth, step=step, G=G)
 
     d, acc, M = _collapse_columns(ops, col_bucket, acc, ncols, NB, L, N, n_in, p=p_super)
 

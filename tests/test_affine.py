@@ -117,6 +117,26 @@ def test_affine_fused_kernels_match_host():
     assert got == exp
 
 
+def test_affine_packed_kernels_match_host():
+    """The level-1 production op: P + unpack(packed 64 B row), fused kernels
+    vs the generic unpack path vs host, incl. the all-zero sentinel row."""
+    from hekaton_tpu.curves import pallas_curve as pc
+
+    ps, qs = _adversarial_pairs()
+    p = _pack_aff(ps)
+    q = _pack_aff(qs)
+    rows = jnp.concatenate(
+        [q.x[:, 0::2] | (q.x[:, 1::2] << 16), q.y[:, 0::2] | (q.y[:, 1::2] << 16)], axis=-1
+    )
+    exp = [ch.pt_add(a, b) for a, b in zip(ps, qs)]
+    # generic path
+    got = _unpack_aff(AFF_G1.add_packed(p, rows))
+    assert got == exp
+    # fused kernels (interpret mode on CPU)
+    x3, y3 = pc.aff_add_mixed_packed(p.x, p.y, rows)
+    assert _unpack_aff(Aff(x3, y3)) == exp
+
+
 def test_affine_chain_matches_host():
     """Sequential bucket-style accumulation through AFF_G1.add (dispatching
     class, generic path on CPU), including a forced doubling step."""

@@ -85,3 +85,23 @@ def test_pallas_g2_rcb_kernels_match_host():
     assert G2.unpack_jacobian(pg2.to_jacobian(Proj(*out))) == [
         ch.pt_dbl(p) if p else None for p in ps
     ]
+
+
+def test_pallas_mont_mul_bls12_381_24_limbs():
+    """The CIOS kernel is limb-count-generic: BLS12-381's 24-limb Fq rides
+    the same fused kernel (and batch_inv's tree/Fermat stages with it)."""
+    import jax.numpy as jnp
+
+    from hekaton_tpu.fields.bls12_381 import NLIMBS_FQ, P as P381
+
+    spec = jf.FieldSpec(P381, "fq_bls381", nlimbs=NLIMBS_FQ)
+    from hekaton_tpu.fields.pallas_field import mont_mul_pallas
+
+    vals_a = [int(rng.randint(1, 2**62)) * int(rng.randint(1, 2**62)) % P381 for _ in range(9)]
+    vals_a += [0, 1, P381 - 1]
+    vals_b = list(reversed(vals_a))
+    a = jnp.asarray(spec.pack(vals_a))
+    b = jnp.asarray(spec.pack(vals_b))
+    assert bool(jnp.all(mont_mul_pallas(spec, a, b) == jf.mont_mul(spec, a, b)))
+    nz = jnp.asarray(spec.pack([v or 1 for v in vals_a]))
+    assert bool(jnp.all(jf.batch_inv(spec, nz) == jf.mont_inv(spec, nz)))
