@@ -1,8 +1,10 @@
 """A/B microbench of MSM designs on the real chip.
 
-Usage: python benches/msm_ab.py [v5|v4|v2|both|all] [log2n] [c] [L]
-  v5 = batched-affine accumulation, v4 = complete RCB projective (accum
-  A/B of the same v5 pipeline), v2 = unsigned digits + escaped Jacobian.
+Usage: python benches/msm_ab.py [v7|v7m|v7mp|v6|v6p|v5|v4|v2|both|all] [log2n] [c] [L] [G]
+  v7  = padded-sort plan (zero gathers) + per-step batched-affine slab adds
+  v7m = padded-sort plan + RCB mega kernel (v7mp: proj accumulators)
+  v6  = gather plan + mega kernel (the v5/r3 production path; v6p: proj)
+  v5/v4 = gather plan, per-step gathers, affine/proj; v2 = unsigned Jacobian.
 Prints per-design wall time + points/sec after a warmup run.
 """
 from __future__ import annotations
@@ -37,13 +39,16 @@ def main():
     ax, ay, sc = jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(sc)
 
     designs = {
-        "v6": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", level1="mega"),
-        "v6p": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="proj", level1="mega"),
-        "v5": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", G=G, level1="steps"),
-        "v4": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="proj", G=G, level1="steps"),
+        "v7": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", level1="steps", plan="sort"),
+        "v7m": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", level1="mega", plan="sort"),
+        "v7mp": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="proj", level1="mega", plan="sort"),
+        "v6": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", level1="mega", plan="gather"),
+        "v6p": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="proj", level1="mega", plan="gather"),
+        "v5": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", G=G, level1="steps", plan="gather"),
+        "v4": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="proj", G=G, level1="steps", plan="gather"),
         "v2": lambda x, y, s: pp.msm_tpu_jac(G1, x, y, s, c=c, L=L),
     }
-    names = {"both": ["v6", "v5"], "all": ["v6", "v6p", "v5", "v4"]}.get(which, [which])
+    names = {"both": ["v7", "v7m"], "all": ["v7", "v7m", "v7mp", "v6"]}.get(which, [which])
     for name in names:
         fn = jax.jit(designs[name])
         # NB: materialize via np.asarray — on the remote (axon) backend

@@ -518,6 +518,58 @@ def l1_rcb_mega(slab_t, L: int):
     return call(slab_t)
 
 
+def _horner_kernel(p_ref, x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref, *, W, c):
+    """Whole window-Horner combine in ONE launch: acc = sum_w 2^(cw) * S_w,
+    MSB window first (c complete doublings + one complete add per window),
+    on (16, 1) column tiles that never leave VMEM. The XLA fallback runs the
+    same ~(W-1)*(c+1) point ops as sequential width-1 HLO ops — hundreds of
+    tiny latency-bound launches' worth of work for ~1 ms of VPU time."""
+    p_col = p_ref[:]
+
+    def col(ref, i):
+        return ref[pl.ds(i, 1), :].T  # (1, 16) row -> (16, 1) column tile
+
+    def dbl_body(_, acc):
+        return _pdbl_rcb_tiles(*acc, p_col)
+
+    def body(i, acc):
+        acc = jax.lax.fori_loop(0, c, dbl_body, acc)
+        w = W - 2 - i
+        return _padd_rcb_tiles(*acc, col(x_ref, w), col(y_ref, w), col(z_ref, w), p_col)
+
+    acc = (col(x_ref, W - 1), col(y_ref, W - 1), col(z_ref, W - 1))
+    x, y, z = jax.lax.fori_loop(0, W - 1, body, acc)
+    ox_ref[:] = x.T
+    oy_ref[:] = y.T
+    oz_ref[:] = z.T
+
+
+@functools.lru_cache(maxsize=None)
+def _build_horner(W: int, c: int, interpret: bool):
+    kern = functools.partial(_horner_kernel, W=W, c=c)
+
+    def call(x, y, z):
+        return pl.pallas_call(
+            kern,
+            out_shape=tuple(jax.ShapeDtypeStruct((1, NLIMBS), u32) for _ in range(3)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(3)),
+            interpret=interpret,
+        )(jnp.asarray(_P_ARR), x, y, z)
+
+    return call
+
+
+def horner_fold(x, y, z, c: int):
+    """(W, 16) BN254-G1 projective window sums -> the final projective point
+    (three (16,) arrays) via the complete RCB double/add chain in one fused
+    kernel."""
+    W = x.shape[0]
+    call = _build_horner(W, int(c), interpret=not _on_tpu())
+    ox, oy, oz = call(x, y, z)
+    return ox[0], oy[0], oz[0]
+
+
 def _unpack_rows_tiles(rows_t):
     """(16, BLK) packed 64 B table rows (2 limbs/u32: 8 words x || 8 words y)
     -> ((16, BLK) px, (16, BLK) py) canonical limb tiles. In-kernel this is

@@ -407,21 +407,30 @@ def _collapse_columns(curve, d, acc, M: int, NB: int, L: int, N: int, n_in: int,
     max_cols = (min(N, n_in) + L - 1) // L  # worst case: one bucket holds a full window
     levels = max(1, math.ceil(math.log2(max(2, max_cols))))
     sentinel = jnp.int32(NB)
-    for _ in range(math.ceil(levels / p)):
+    # two-round schedule: p strides at full width, then ALL remaining strides
+    # in one round at the 2^p-compacted width. The per-round fixed machinery
+    # (searchsorted, cumsum, permutation gathers, batch-inversion trees) was
+    # the measured cost driver, not the stride-pass adds — 15 worst-case
+    # levels ran 5 rounds of machinery for data that typically collapses in
+    # the first round (counts ~ n/(W*B) give ceil(count/L) ~ 8 columns).
+    schedule = [min(p, levels)]
+    if levels > p:
+        schedule.append(levels - p)
+    for round_strides in schedule:
         if M <= 1:
             break
         i = jnp.arange(M)
         first = jnp.searchsorted(d, d, side="left")
         win = i - first  # column index within its bucket
-        for q in range(p):
+        for q in range(round_strides):
             s = 1 << q
             d_next = jnp.concatenate([d[s:], jnp.full((s,), sentinel)])
             nxt = jax.tree.map(lambda a: jnp.concatenate([a[s:], a[:s]]), acc)
             can_pair = (win % (2 * s) == 0) & (d_next == d) & (d < NB)
             paired = curve.add(acc, nxt)
             acc = curve.select(can_pair, paired, acc)
-        keep = (win % (1 << p)) == 0
-        M_next = min(M, M // (1 << p) + NB)
+        keep = (win % (1 << round_strides)) == 0
+        M_next = min(M, M // (1 << round_strides) + NB)
         # stable-partition compaction via searchsorted on the keep-prefix-sum
         # (position of the k-th kept element) — an argsort here paid a full
         # sort network per level for what is just a monotone lookup
@@ -527,6 +536,130 @@ def _plan_tpu(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn, order: str = 
     return src, table, col_bucket, (W, B, NB, n_in, ncols, nlimb)
 
 
+def _plan_sorted(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn, order: str = "row", col_pad: int = 1):
+    """v7 plan: carry the packed point rows THROUGH the digit sort, with
+    bucket-alignment PAD elements pre-inserted so the sorted stream IS the
+    level-1 slab — zero gathers anywhere.
+
+    Why: the v4-v6 plan sorted (key, row-id) pairs and applied the
+    permutation with a RANDOM 64 B-row gather — the single most expensive
+    step of the whole MSM (~0.49 s at 2^20; and TPU row gathers are
+    per-row latency-bound even for MONOTONE indices: 737 ms measured —
+    benches/sort_vs_gather.py). A multi-operand `lax.sort` carrying the 16
+    packed row words as payload costs only ~128 ms for the same stream
+    (the sort network moves payloads with streaming locality), so ALL data
+    movement goes through sorts:
+
+      1. key-only pre-sort -> per-bucket counts (searchsorted);
+      2. per bucket b, (-count_b mod L) pad elements with key b and
+         all-zero words (= the infinity sentinel) join the stream; unused
+         pad slots get key 0xFFFFFFFF (sorts after every real key);
+      3. ONE payload-carrying sort of the (n_in + NB*(L-1)) stream. Every
+         bucket's run is now an exact multiple of L, so the (ncols, L)
+         column layout is a pure reshape, pad columns are all-sentinel,
+         and per-column bucket ids are a strided slice of the sorted keys.
+
+    The per-window sign is folded in BEFORE the sort by selecting the
+    pre-negated y words elementwise.
+
+    Returns (rows, col_bucket, meta): `rows` is the slab of packed words —
+    steps order (L*ncols, nw) [order="row": step g reads the contiguous
+    slice g*ncols:(g+1)*ncols] or mega order (ncols*L, nw) [order="col":
+    column-major, matching l1_rcb_mega's reshape/transpose]; col_bucket is
+    (ncols,) int32 with NB for pad columns (NOTE: unlike _plan_tpu, empty
+    buckets get NO column — the bucket readout must mask absent ids);
+    meta = (W, B, NB, n_in, ncols, nlimb).
+    """
+    N = ax.shape[0]
+    coord_shape = ax.shape[1:]
+    nlimb = int(np.prod(coord_shape))
+    half = nlimb // 2
+    mag, neg = signed_digits_for_windows(scalars, c, nbits)  # (W, N) each
+    W = mag.shape[0]
+    B = (1 << (c - 1)) + 1
+    NB = W * B
+    keys = (mag + (jnp.arange(W, dtype=u32) * jnp.uint32(B))[:, None]).reshape(-1)
+    n_in = keys.shape[0]
+    SENT = jnp.uint32(0xFFFFFFFF)
+
+    # pass 1: key-only sort -> per-bucket alignment pads
+    sk0 = jax.lax.sort(keys)
+    ids = jnp.arange(NB, dtype=keys.dtype)
+    starts = jnp.searchsorted(sk0, ids, side="left").astype(u32)
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), n_in, u32)])
+    counts = ends - starts
+    pads = (jnp.uint32(L) - (counts % jnp.uint32(L))) % jnp.uint32(L)  # 0 for empty buckets
+    if L > 1:
+        pad_keys = jnp.where(
+            jnp.arange(L - 1, dtype=u32)[None, :] < pads[:, None], ids[:, None], SENT
+        ).reshape(-1)
+    else:
+        pad_keys = jnp.zeros((0,), u32)
+    npad = pad_keys.shape[0]
+
+    def _pack2(a):
+        a = a.reshape(a.shape[0], nlimb)
+        return a[:, 0::2] | (a[:, 1::2] << 16)
+
+    pax = _pack2(ax)  # (N, nlimb//2)
+    pay = _pack2(ay)
+    payn = _pack2(neg_fn(ay))
+    negb = neg.astype(bool)  # (W, N)
+    zpad = jnp.zeros((npad,), u32)
+    sort_ops = [jnp.concatenate([keys, pad_keys])]
+    for j in range(half):
+        sort_ops.append(
+            jnp.concatenate([jnp.broadcast_to(pax[:, j][None, :], (W, N)).reshape(-1), zpad])
+        )
+    for j in range(half):
+        sort_ops.append(
+            jnp.concatenate(
+                [jnp.where(negb, payn[:, j][None, :], pay[:, j][None, :]).reshape(-1), zpad]
+            )
+        )
+    out = jax.lax.sort(tuple(sort_ops), num_keys=1)
+    skf, swords = out[0], list(out[1:])
+
+    ntot = n_in + npad
+    ncols0 = (ntot + L - 1) // L
+    ncols = ((ncols0 + col_pad - 1) // col_pad) * col_pad
+    tail = ncols * L - ntot
+    if tail:
+        skf = jnp.concatenate([skf, jnp.full((tail,), SENT)])
+        swords = [jnp.concatenate([w, jnp.zeros((tail,), u32)]) for w in swords]
+
+    col_keys = skf[:: L]  # first element of each L-aligned column
+    col_bucket = jnp.where(col_keys == SENT, jnp.int32(NB), col_keys.astype(jnp.int32))
+
+    rows_sorted = jnp.stack(swords, axis=-1)  # (ncols*L, nw) — the one relayout
+    if order == "row":
+        rows = rows_sorted.reshape(ncols, L, nlimb).transpose(1, 0, 2).reshape(L * ncols, nlimb)
+    else:
+        rows = rows_sorted
+    return rows, col_bucket, (W, B, NB, n_in, ncols, nlimb)
+
+
+def _level1_rows(ops, rows, ncols: int, L: int, coord_shape, step=None):
+    """Stage 3 over a pre-assembled slab: step g consumes the contiguous
+    row slice [g*ncols, (g+1)*ncols) — no in-loop gathers at all."""
+    nlimb = int(np.prod(coord_shape))
+    half = nlimb // 2
+    if step is None:
+
+        def _unpack2(p):
+            lo = p & jnp.uint32(0xFFFF)
+            hi = p >> 16
+            return jnp.stack([lo, hi], axis=-1).reshape((p.shape[0],) + coord_shape)
+
+        def step(acc, blk):
+            return ops.add_mixed(acc, _unpack2(blk[:, :half]), _unpack2(blk[:, half:]))
+
+    acc = ops.inf((ncols,))
+    for g in range(L):
+        acc = step(acc, rows[g * ncols : (g + 1) * ncols])
+    return acc
+
+
 def _level1_tpu(
     ops, src, table, ncols: int, L: int, coord_shape, depth: int = 1, step=None, G: int = 1
 ):
@@ -561,6 +694,15 @@ def _level1_tpu(
     def _fetch(kk):
         return table[jax.lax.dynamic_index_in_dim(src_g, kk, axis=0, keepdims=False)]
 
+    if nsuper == 1:
+        # single superblock: no pipelining possible — fetch once and unroll
+        # (the pipelined loop below would run the whole gather twice)
+        rows = _fetch(0)
+        acc = ops.inf((ncols,))
+        for g in range(G):
+            acc = step(acc, rows[g * ncols : (g + 1) * ncols])
+        return acc
+
     def body(kk, carry):
         acc, bufs = carry
         nxt = _fetch(jnp.minimum(kk + depth, nsuper - 1))
@@ -587,20 +729,26 @@ def msm_tpu(
     accum: str | None = None,
     G: int = 1,
     level1: str | None = None,
+    plan: str = "sort",
 ) -> Jac:
-    """Variable-base MSM structured for TPU — v5.
+    """Variable-base MSM structured for TPU — v7.
 
     Over the v2 design (msm_tpu_jac below): signed window digits halve
     the per-window bucket count (2^(c-1)+1 vs 2^c) with negation folded
-    into the precomputed gather indices (the fused table carries x||y and
-    x||-y halves); v4 added the payload-carrying sort, software-pipelined
-    level-1 and superlevel collapse (see PERFORMANCE.md). v5: ALL bucket
-    accumulation (level-1, collapse, suffix scan) runs batched COMPLETE
-    affine adds with a shared tree batch-inversion (curves/affine.py) —
-    ~7 field multiplies per accumulated point vs 13 for the complete RCB
-    projective mixed add, and 2-coordinate accumulators instead of 3.
-    `accum`: "affine" (default on G1 curves) or "proj" (the v4 RCB path,
-    kept for A/B benchmarking; always used for G2/Fq2).
+    into the sorted point stream; v4 added the payload-carrying sort,
+    software-pipelined level-1 and superlevel collapse; v5 moved ALL
+    bucket accumulation (level-1, collapse, suffix scan) to batched
+    COMPLETE affine adds with a shared tree batch-inversion
+    (curves/affine.py) — ~7 field multiplies per accumulated point vs 13
+    for the complete RCB projective mixed add. v7 (`plan="sort"`, the
+    default): the packed point rows RIDE the digit sort together with
+    pre-inserted bucket-alignment pad elements, so the level-1 slab is a
+    pure reshape of the sort output — the random row gather that
+    dominated v4-v6 (TPU gathers are per-row latency-bound even with
+    monotone indices) is gone entirely; the window Horner combine runs as
+    one fused kernel. `accum`: "affine" (default on G1 curves) or "proj"
+    (the RCB path, kept for A/B benchmarking; always used for G2/Fq2);
+    `plan="gather"` keeps the v6 index-gather plan for A/B.
 
     Structure per level: one sorted key stream for all windows,
     padded-bucket flat gathers, stride-doubling bucket collapse,
@@ -643,7 +791,31 @@ def msm_tpu(
     else:
         ops = proj
 
-    if level1 == "mega":
+    assert plan in ("sort", "gather")
+    if plan == "sort":
+        from ..curves import pallas_curve as _pc
+        from ..curves.proj import Proj
+
+        order = "col" if level1 == "mega" else "row"
+        rows, col_bucket, (W, B, NB, n_in, ncols, nlimb) = _plan_sorted(
+            ax,
+            ay,
+            scalars,
+            c,
+            L,
+            nbits,
+            lambda y: jf.neg(f.spec, y),
+            order=order,
+            col_pad=_pc.MEGA_BLKC if level1 == "mega" else 1,
+        )
+        if level1 == "mega":
+            slab_t = rows.reshape(ncols, L * nlimb).T
+            x, y, z = _pc.l1_rcb_mega(slab_t, L)
+            acc = ops.from_proj(x, y, z) if accum == "affine" else Proj(x, y, z)
+        else:
+            step = ops.add_packed if accum == "affine" else None
+            acc = _level1_rows(ops, rows, ncols, L, coord_shape, step=step)
+    elif level1 == "mega":
         from ..curves import pallas_curve as _pc
         from ..curves.proj import Proj
 
@@ -670,14 +842,26 @@ def msm_tpu(
 
     d, acc, M = _collapse_columns(ops, col_bucket, acc, ncols, NB, L, N, n_in, p=p_super)
 
-    # one column per bucket now: gather into (W*B,) bucket-ordered sums
-    first_pos = jnp.searchsorted(d, jnp.arange(NB, dtype=jnp.int32), side="left")
+    # one column per bucket now: gather into (W*B,) bucket-ordered sums.
+    # The sorted plan gives EMPTY buckets no column at all — mask ids whose
+    # first_pos landed on a different bucket's column to the identity.
+    bucket_ids = jnp.arange(NB, dtype=jnp.int32)
+    first_pos = jnp.searchsorted(d, bucket_ids, side="left")
     first_pos = jnp.minimum(first_pos, M - 1).astype(jnp.int32)
     buckets = jax.tree.map(lambda a: a[first_pos], acc)
+    present = d[first_pos] == bucket_ids
+    buckets = ops.select(present, buckets, ops.inf((NB,)))
 
     window_sums = _suffix_weighted(ops, buckets, W, B)
     if accum == "affine":
         window_sums = proj.from_affine(window_sums.x, window_sums.y)
+
+    if is_bn_g1 and W > 1:
+        from ..curves import pallas_curve as _pc
+        from ..curves.proj import Proj
+
+        a = Proj(*_pc.horner_fold(window_sums.x, window_sums.y, window_sums.z, c))
+        return proj.to_jacobian(a)
 
     def horner(i, a):
         def dbl_body(_, x):
