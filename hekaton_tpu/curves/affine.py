@@ -144,6 +144,23 @@ class AffineOps:
         interleave relayout materialized through HBM)."""
         return self.add(p, self.unpack_rows(rows))
 
+    def pack_rows(self, p: Aff):
+        """Affine batch -> (n, nlimbs) packed table rows (2 limbs/u32)."""
+
+        def pk(a):
+            return a[..., 0::2] | (a[..., 1::2] << 16)
+
+        return jnp.concatenate([pk(p.x), pk(p.y)], axis=-1)
+
+    def add_pairs_packed(self, v):
+        """(m, 2*nlimbs) packed PAIRS (a || b rows) -> (m, nlimbs) packed
+        sums: the MSM v8 pairwise-tree round op. Every add is independent,
+        so the whole round shares one batch inversion; the Pallas subclass
+        runs it as two fused kernels with zero XLA-side relayouts."""
+        nw = v.shape[-1] // 2
+        out = self.add(self.unpack_rows(v[:, :nw]), self.unpack_rows(v[:, nw:]))
+        return self.pack_rows(out)
+
     # -- interop --------------------------------------------------------------
     def from_proj(self, x, y, z) -> Aff:
         """Batched homogeneous-projective -> affine via ONE tree batch
@@ -197,6 +214,13 @@ class PallasAffG1Ops(AffineOps):
         from . import pallas_curve as _pc
 
         return Aff(*_pc.aff_add_mixed_packed(p.x, p.y, rows))
+
+    def add_pairs_packed(self, v):
+        from . import pallas_curve as _pc
+
+        if not _pc._on_tpu() or v.shape[0] < self.MIN_LANES:
+            return super().add_pairs_packed(v)
+        return _pc.aff_add_pairs_packed(v)
 
 
 AFF_G1 = PallasAffG1Ops(jf.FqOps, "g1_aff")

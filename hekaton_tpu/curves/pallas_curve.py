@@ -717,6 +717,102 @@ def aff_add_fused(x1, y1, px, py):
     return x3[:n].reshape(shape), y3[:n].reshape(shape)
 
 
+def _pack_rows_tiles(x, y):
+    """Inverse of _unpack_rows_tiles: two (16, BLK) canonical limb tiles ->
+    one (16, BLK) packed-word tile (2 limbs/u32: 8 x-words || 8 y-words)."""
+    rows = []
+    for i in range(8):
+        rows.append(x[2 * i : 2 * i + 1] | (x[2 * i + 1 : 2 * i + 2] << LIMB_BITS))
+    for i in range(8):
+        rows.append(y[2 * i : 2 * i + 1] | (y[2 * i + 1 : 2 * i + 2] << LIMB_BITS))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _aff_pairs_root_kernel(p_ref, v_ref, root_ref):
+    """Fused pair-add kernel A: v is (BLK, 32) packed PAIRS (a || b, each a
+    64 B x||y row); emits the per-block denominator product-tree root."""
+    p_col = p_ref[:]
+    vt = v_ref[:].T  # (32, BLK)
+    ax, ay = _unpack_rows_tiles(vt[:NLIMBS])
+    bx, by = _unpack_rows_tiles(vt[NLIMBS:])
+    cur = _aff_den_tiles(ax, ay, bx, by, p_col)
+    while cur.shape[1] > 1:
+        half = cur.shape[1] // 2
+        cur = tile_mul(cur[:, :half], cur[:, half:], p_col)
+    root_ref[pl.ds(pl.program_id(0), 1), :] = cur.T
+
+
+def _aff_pairs_fin_kernel(p_ref, v_ref, rinv_ref, o_ref):
+    """Fused pair-add kernel B: walk the rebuilt denominator tree down from
+    the inverted root, finish the complete affine adds, and emit the sums
+    PACKED (so the next pairwise round consumes them with zero relayout)."""
+    p_col = p_ref[:]
+    vt = v_ref[:].T
+    ax, ay = _unpack_rows_tiles(vt[:NLIMBS])
+    bx, by = _unpack_rows_tiles(vt[NLIMBS:])
+    levels = []
+    cur = _aff_den_tiles(ax, ay, bx, by, p_col)
+    while cur.shape[1] > 1:
+        half = cur.shape[1] // 2
+        left, right = cur[:, :half], cur[:, half:]
+        levels.append((left, right))
+        cur = tile_mul(left, right, p_col)
+    inv = rinv_ref[pl.ds(pl.program_id(0), 1), :].T
+    for left, right in reversed(levels):
+        il = tile_mul(inv, right, p_col)
+        ir = tile_mul(inv, left, p_col)
+        inv = jnp.concatenate([il, ir], axis=1)
+    _, _, _, dy, _, dbl = _aff_flags(ax, ay, bx, by)
+    x1sq = tile_sqr(ax, p_col)
+    num = tile_select(dbl, tile_add(tile_add(x1sq, x1sq), x1sq), dy)
+    x3, y3 = _aff_fin_tiles(ax, ay, bx, by, inv, num, p_col)
+    o_ref[:] = _pack_rows_tiles(x3, y3).T
+
+
+@functools.lru_cache(maxsize=None)
+def _build_aff_pairs(n_blocks: int, n_pts: int, interpret: bool):
+    root_spec = pl.BlockSpec((n_blocks, NLIMBS), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((BLK, 2 * NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def call_root(v):
+        return pl.pallas_call(
+            _aff_pairs_root_kernel,
+            out_shape=jax.ShapeDtypeStruct((n_blocks, NLIMBS), u32),
+            grid=(n_blocks,),
+            in_specs=[_spec_p(), v_spec],
+            out_specs=root_spec,
+            interpret=interpret,
+        )(jnp.asarray(_P_ARR), v)
+
+    def call_fin(v, rinv):
+        return pl.pallas_call(
+            _aff_pairs_fin_kernel,
+            out_shape=jax.ShapeDtypeStruct((n_pts, NLIMBS), u32),
+            grid=(n_blocks,),
+            in_specs=[_spec_p(), v_spec, root_spec],
+            out_specs=_spec_pt(),
+            interpret=interpret,
+        )(jnp.asarray(_P_ARR), v, rinv)
+
+    return call_root, call_fin
+
+
+def aff_add_pairs_packed(v):
+    """Complete batched-affine adjacent-pair adds on a (m, 32) packed-pair
+    array -> (m, 16) packed sums. The MSM v8 level-1 hot op: every add in a
+    round is independent, so one shared batch inversion serves the round."""
+    from ..fields import jax_field as jf
+
+    n = v.shape[0]
+    m = ((n + BLK - 1) // BLK) * BLK
+    if m != n:
+        v = jnp.concatenate([v, jnp.zeros((m - n, 2 * NLIMBS), u32)])
+    call_root, call_fin = _build_aff_pairs(m // BLK, m, interpret=not _on_tpu())
+    roots = call_root(v)
+    rinv = jf.batch_inv(jf.FQ, roots)
+    return call_fin(v, rinv)[:n]
+
+
 def _aff_prep_kernel(p_ref, x1_ref, y1_ref, px_ref, py_ref, den_ref, num_ref):
     den, num = _aff_prep_tiles(x1_ref[:].T, y1_ref[:].T, px_ref[:].T, py_ref[:].T, p_ref[:])
     den_ref[:] = den.T

@@ -536,7 +536,7 @@ def _plan_tpu(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn, order: str = 
     return src, table, col_bucket, (W, B, NB, n_in, ncols, nlimb)
 
 
-def _plan_sorted(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn, order: str = "row", col_pad: int = 1):
+def _plan_sorted(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn, col_pad: int = 1):
     """v7 plan: carry the packed point rows THROUGH the digit sort, with
     bucket-alignment PAD elements pre-inserted so the sorted stream IS the
     level-1 slab — zero gathers anywhere.
@@ -562,13 +562,12 @@ def _plan_sorted(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn, order: str
     The per-window sign is folded in BEFORE the sort by selecting the
     pre-negated y words elementwise.
 
-    Returns (rows, col_bucket, meta): `rows` is the slab of packed words —
-    steps order (L*ncols, nw) [order="row": step g reads the contiguous
-    slice g*ncols:(g+1)*ncols] or mega order (ncols*L, nw) [order="col":
-    column-major, matching l1_rcb_mega's reshape/transpose]; col_bucket is
-    (ncols,) int32 with NB for pad columns (NOTE: unlike _plan_tpu, empty
-    buckets get NO column — the bucket readout must mask absent ids);
-    meta = (W, B, NB, n_in, ncols, nlimb).
+    Returns (rows, col_bucket, meta): `rows` is the (ncols, L*nw)
+    column-major slab of packed words — the mega kernel consumes rows.T,
+    the steps path the minor-dim slice [:, g*nw:(g+1)*nw] per step;
+    col_bucket is (ncols,) int32 with NB for pad columns (NOTE: unlike
+    _plan_tpu, empty buckets get NO column — the bucket readout must mask
+    absent ids); meta = (W, B, NB, n_in, ncols, nlimb).
     """
     N = ax.shape[0]
     coord_shape = ax.shape[1:]
@@ -631,17 +630,19 @@ def _plan_sorted(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn, order: str
     col_keys = skf[:: L]  # first element of each L-aligned column
     col_bucket = jnp.where(col_keys == SENT, jnp.int32(NB), col_keys.astype(jnp.int32))
 
-    rows_sorted = jnp.stack(swords, axis=-1)  # (ncols*L, nw) — the one relayout
-    if order == "row":
-        rows = rows_sorted.reshape(ncols, L, nlimb).transpose(1, 0, 2).reshape(L * ncols, nlimb)
-    else:
-        rows = rows_sorted
+    # (ncols*L, nw) stacked, viewed as (ncols, L*nw): ONE relayout whose minor
+    # dim is L*nw (lane-tiling friendly). The former order="row" layout
+    # ((ncols, L, nw) -> transpose(1,0,2)) materialized an 8-128x tile-padded
+    # intermediate that OOM'd HBM at 2^20 — both level-1 paths now consume
+    # this column-major slab (mega transposes it; steps slices per step).
+    rows = jnp.stack(swords, axis=-1).reshape(ncols, L * nlimb)
     return rows, col_bucket, (W, B, NB, n_in, ncols, nlimb)
 
 
 def _level1_rows(ops, rows, ncols: int, L: int, coord_shape, step=None):
-    """Stage 3 over a pre-assembled slab: step g consumes the contiguous
-    row slice [g*ncols, (g+1)*ncols) — no in-loop gathers at all."""
+    """Stage 3 over a pre-assembled (ncols, L*nlimb) column-major slab: step g
+    consumes the minor-dim slice [g*nlimb, (g+1)*nlimb) — a lane-aligned
+    static slice, no gathers and no tile-padded relayouts."""
     nlimb = int(np.prod(coord_shape))
     half = nlimb // 2
     if step is None:
@@ -656,8 +657,31 @@ def _level1_rows(ops, rows, ncols: int, L: int, coord_shape, step=None):
 
     acc = ops.inf((ncols,))
     for g in range(L):
-        acc = step(acc, rows[g * ncols : (g + 1) * ncols])
+        acc = step(acc, rows[:, g * nlimb : (g + 1) * nlimb])
     return acc
+
+
+def _level1_pair(ops, rows, ncols: int, L: int):
+    """Stage 3 as a PAIRWISE TREE of complete batched-affine adds (v8).
+
+    The (ncols, L*nw) slab's columns are bucket-pure L-runs, so adjacent-pair
+    adds never mix buckets and log2(L) rounds reduce every column to one
+    point. Unlike the sequential mega/steps accumulation (each of the L steps
+    depends on the previous), every add in a round is INDEPENDENT, so the
+    whole round shares ONE Montgomery batch inversion: ~8 field multiplies
+    per accumulated point (3 fused-kernel muls + ~3 tree + x1sq + amortized
+    Fermat) vs 11.25 for the complete RCB projective mixed add. Round 1
+    splits the packed slab by minor-dim halves (pure reshape); later rounds
+    pair even/odd rows of the canonical coordinate arrays. Requires
+    power-of-two L and an AffineOps `ops`."""
+    nw = rows.shape[1] // L  # packed words per element
+    M = ncols * L
+    out = rows.reshape(M, nw)
+    m = M
+    while m > ncols:
+        out = ops.add_pairs_packed(out.reshape(m // 2, 2 * nw))
+        m //= 2
+    return ops.unpack_rows(out)
 
 
 def _level1_tpu(
@@ -774,7 +798,9 @@ def msm_tpu(
     is_bn_g1 = curve.f.ndim == 1 and curve.f.spec.modulus == _P254
     if level1 is None:
         level1 = "mega" if is_bn_g1 else "steps"
-    if not is_bn_g1:
+    if level1 == "pair" and (accum != "affine" or plan != "sort" or L & (L - 1)):
+        level1 = "steps"  # pairwise tree needs the sorted slab + affine ops
+    if not is_bn_g1 and level1 == "mega":
         level1 = "steps"  # the mega kernel is BN254-G1-specialized
     coord_shape = ax.shape[1:]
 
@@ -796,7 +822,6 @@ def msm_tpu(
         from ..curves import pallas_curve as _pc
         from ..curves.proj import Proj
 
-        order = "col" if level1 == "mega" else "row"
         rows, col_bucket, (W, B, NB, n_in, ncols, nlimb) = _plan_sorted(
             ax,
             ay,
@@ -805,13 +830,15 @@ def msm_tpu(
             L,
             nbits,
             lambda y: jf.neg(f.spec, y),
-            order=order,
-            col_pad=_pc.MEGA_BLKC if level1 == "mega" else 1,
+            col_pad=_pc.MEGA_BLKC
+            if level1 == "mega"
+            else (_pc.BLK if level1 == "pair" else 1),
         )
         if level1 == "mega":
-            slab_t = rows.reshape(ncols, L * nlimb).T
-            x, y, z = _pc.l1_rcb_mega(slab_t, L)
+            x, y, z = _pc.l1_rcb_mega(rows.T, L)
             acc = ops.from_proj(x, y, z) if accum == "affine" else Proj(x, y, z)
+        elif level1 == "pair":
+            acc = _level1_pair(ops, rows, ncols, L)
         else:
             step = ops.add_packed if accum == "affine" else None
             acc = _level1_rows(ops, rows, ncols, L, coord_shape, step=step)

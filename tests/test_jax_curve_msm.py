@@ -157,3 +157,26 @@ def test_to_affine_device():
     p = G1.from_affine(jnp.asarray(ax), jnp.asarray(ay))
     d = jax.jit(lambda p: msm_mod.to_affine_device(G1, G1.dbl(p)))(p)
     assert G1.unpack_affine(*d) == [ch.pt_dbl(a) for a in pts]
+
+
+def test_msm_tpu_pair_level1_matches_host():
+    """msm_tpu level1="pair" (v8: pairwise-tree batched-affine rounds over
+    the sorted slab) vs host, with the same stress set as the signed-digit
+    test: zero/one/R-1 scalars, duplicate (point, scalar) pairs (doubling
+    pairs inside a column), and an infinity table row."""
+    n = 60
+    pts = [ch.pt_mul(ch.g1_gen(), rng.randrange(1, R)) for _ in range(n)]
+    pts[5] = None
+    pts[7] = pts[6]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = R - 1
+    scalars[6] = scalars[7]
+    expected = ch.msm_host(pts, scalars)
+    ax, ay = G1.pack_affine(pts)
+    sc = msm_mod.pack_scalars(scalars)
+    f = jax.jit(lambda ax, ay, sc: msm_mod.msm_tpu(G1, ax, ay, sc, c=6, L=8, level1="pair"))
+    out = f(jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(sc))
+    got = G1.unpack_jacobian(jax.tree.map(lambda a: a[None], out))[0]
+    assert got == expected

@@ -105,3 +105,36 @@ def test_pallas_mont_mul_bls12_381_24_limbs():
     assert bool(jnp.all(mont_mul_pallas(spec, a, b) == jf.mont_mul(spec, a, b)))
     nz = jnp.asarray(spec.pack([v or 1 for v in vals_a]))
     assert bool(jnp.all(jf.batch_inv(spec, nz) == jf.mont_inv(spec, nz)))
+
+
+def test_pallas_affine_pair_kernels_match_host():
+    """Fused pairwise batched-affine kernels (MSM v8 level-1) vs host ground
+    truth, covering doubling pairs, inverse pairs, identity lanes (packed
+    all-zero rows) and both-infinite pairs."""
+    from hekaton_tpu.curves import pallas_curve as pc
+    from hekaton_tpu.curves.affine import AFF_G1, Aff
+
+    n = 6
+    ps = [ch.pt_mul(ch.g1_gen(), int(k)) for k in rng.randint(1, 2**30, size=n)]
+    qs = [ch.pt_mul(ch.g1_gen(), int(k)) for k in rng.randint(1, 2**30, size=n)]
+    ps += [ps[0], ps[1], None, ps[2], None]
+    qs += [ps[0], (ps[1][0], (-ps[1][1]) % ch.P), qs[0], None, None]
+    ax, ay = G1.pack_affine(ps)
+    bx, by = G1.pack_affine(qs)
+    v = jnp.concatenate(
+        [
+            AFF_G1.pack_rows(Aff(jnp.asarray(ax), jnp.asarray(ay))),
+            AFF_G1.pack_rows(Aff(jnp.asarray(bx), jnp.asarray(by))),
+        ],
+        axis=-1,
+    )
+    out = AFF_G1.unpack_rows(pc.aff_add_pairs_packed(v))
+    got = G1.unpack_jacobian(AFF_G1.to_jacobian(out))
+    expected = [ch.pt_add(p, q) for p, q in zip(ps, qs)]
+    assert got == expected
+    # generic (XLA) path agrees
+    from hekaton_tpu.curves.affine import AffineOps
+
+    generic = AffineOps(AFF_G1.f, "g1_aff_generic")
+    out2 = AFF_G1.unpack_rows(generic.add_pairs_packed(v))
+    assert G1.unpack_jacobian(AFF_G1.to_jacobian(out2)) == expected
