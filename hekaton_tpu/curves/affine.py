@@ -215,12 +215,6 @@ class PallasAffG1Ops(AffineOps):
 
         return Aff(*_pc.aff_add_mixed_packed(p.x, p.y, rows))
 
-    def add_pairs_packed(self, v):
-        from . import pallas_curve as _pc
-
-        if not _pc._on_tpu() or v.shape[0] < self.MIN_LANES:
-            return super().add_pairs_packed(v)
-        return _pc.aff_add_pairs_packed(v)
 
 
 AFF_G1 = PallasAffG1Ops(jf.FqOps, "g1_aff")

@@ -728,30 +728,52 @@ def _pack_rows_tiles(x, y):
     return jnp.concatenate(rows, axis=0)
 
 
-def _aff_pairs_root_kernel(p_ref, v_ref, root_ref):
-    """Fused pair-add kernel A: v is (BLK, 32) packed PAIRS (a || b, each a
-    64 B x||y row); emits the per-block denominator product-tree root."""
+def _halves_dens(vt, k, p_col):
+    """Per-element slope denominators + running prefix products for a
+    (l*16, BLK) transposed packed slab split into halves (elements i and
+    k+i pair up). Returns (pairs, dens, prefixes): pairs[i] = (ax, ay, bx,
+    by) canonical limb tiles, prefixes[i] = den_0 * ... * den_i."""
+    pairs, dens, prefixes = [], [], []
+    prefix = None
+    for i in range(k):
+        ax, ay = _unpack_rows_tiles(vt[i * NLIMBS : (i + 1) * NLIMBS])
+        bx, by = _unpack_rows_tiles(vt[(k + i) * NLIMBS : (k + i + 1) * NLIMBS])
+        den = _aff_den_tiles(ax, ay, bx, by, p_col)
+        prefix = den if prefix is None else tile_mul(prefix, den, p_col)
+        pairs.append((ax, ay, bx, by))
+        dens.append(den)
+        prefixes.append(prefix)
+    return pairs, dens, prefixes
+
+
+def _aff_halves_root_kernel(p_ref, v_ref, root_ref, *, k):
+    """Fused halves-pair kernel A: v is (BLK, l*16) — each row holds one
+    slab column's l packed elements; element i pairs with element k+i
+    (k = l/2). Emits the per-block product root of ALL k*BLK masked slope
+    denominators (prefix chain along k, then a lane tree)."""
     p_col = p_ref[:]
-    vt = v_ref[:].T  # (32, BLK)
-    ax, ay = _unpack_rows_tiles(vt[:NLIMBS])
-    bx, by = _unpack_rows_tiles(vt[NLIMBS:])
-    cur = _aff_den_tiles(ax, ay, bx, by, p_col)
+    vt = v_ref[:].T  # (l*16, BLK)
+    _, _, prefixes = _halves_dens(vt, k, p_col)
+    cur = prefixes[-1]
     while cur.shape[1] > 1:
         half = cur.shape[1] // 2
         cur = tile_mul(cur[:, :half], cur[:, half:], p_col)
     root_ref[pl.ds(pl.program_id(0), 1), :] = cur.T
 
 
-def _aff_pairs_fin_kernel(p_ref, v_ref, rinv_ref, o_ref):
-    """Fused pair-add kernel B: walk the rebuilt denominator tree down from
-    the inverted root, finish the complete affine adds, and emit the sums
-    PACKED (so the next pairwise round consumes them with zero relayout)."""
+def _aff_halves_fin_kernel(p_ref, v_ref, rinv_ref, o_ref, *, k):
+    """Fused halves-pair kernel B: walk the rebuilt lane tree down from the
+    inverted block root to per-lane 1/P_{k-1}, back-substitute along the
+    k prefix chain to every element's 1/den (the classic Montgomery batch-
+    inversion sequence), finish the k complete affine adds, and emit the
+    sums PACKED as a (BLK, (l/2)*16) slab — the next round's input, with
+    the minor dim wide at every scale (a narrow-minor (M, 16) layout at
+    2^20 scale is 8x tile-padded = 11 GB in HBM)."""
     p_col = p_ref[:]
     vt = v_ref[:].T
-    ax, ay = _unpack_rows_tiles(vt[:NLIMBS])
-    bx, by = _unpack_rows_tiles(vt[NLIMBS:])
+    pairs, dens, prefixes = _halves_dens(vt, k, p_col)
     levels = []
-    cur = _aff_den_tiles(ax, ay, bx, by, p_col)
+    cur = prefixes[-1]
     while cur.shape[1] > 1:
         half = cur.shape[1] // 2
         left, right = cur[:, :half], cur[:, half:]
@@ -762,21 +784,33 @@ def _aff_pairs_fin_kernel(p_ref, v_ref, rinv_ref, o_ref):
         il = tile_mul(inv, right, p_col)
         ir = tile_mul(inv, left, p_col)
         inv = jnp.concatenate([il, ir], axis=1)
-    _, _, _, dy, _, dbl = _aff_flags(ax, ay, bx, by)
-    x1sq = tile_sqr(ax, p_col)
-    num = tile_select(dbl, tile_add(tile_add(x1sq, x1sq), x1sq), dy)
-    x3, y3 = _aff_fin_tiles(ax, ay, bx, by, inv, num, p_col)
-    o_ref[:] = _pack_rows_tiles(x3, y3).T
+    # inv = 1/P_{k-1} per lane; back-substitute: 1/den_i = inv_run * P_{i-1}
+    outs = [None] * k
+    inv_run = inv
+    for i in reversed(range(k)):
+        ax, ay, bx, by = pairs[i]
+        inv_i = tile_mul(inv_run, prefixes[i - 1], p_col) if i > 0 else inv_run
+        _, _, _, dy, _, dbl = _aff_flags(ax, ay, bx, by)
+        x1sq = tile_sqr(ax, p_col)
+        num = tile_select(dbl, tile_add(tile_add(x1sq, x1sq), x1sq), dy)
+        x3, y3 = _aff_fin_tiles(ax, ay, bx, by, inv_i, num, p_col)
+        outs[i] = _pack_rows_tiles(x3, y3)
+        if i > 0:
+            inv_run = tile_mul(inv_run, dens[i], p_col)
+    o_ref[:] = jnp.concatenate(outs, axis=0).T
 
 
 @functools.lru_cache(maxsize=None)
-def _build_aff_pairs(n_blocks: int, n_pts: int, interpret: bool):
+def _build_aff_halves(n_blocks: int, n_rows: int, k: int, interpret: bool):
     root_spec = pl.BlockSpec((n_blocks, NLIMBS), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((BLK, 2 * NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((BLK, 2 * k * NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((BLK, k * NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kern_root = functools.partial(_aff_halves_root_kernel, k=k)
+    kern_fin = functools.partial(_aff_halves_fin_kernel, k=k)
 
     def call_root(v):
         return pl.pallas_call(
-            _aff_pairs_root_kernel,
+            kern_root,
             out_shape=jax.ShapeDtypeStruct((n_blocks, NLIMBS), u32),
             grid=(n_blocks,),
             in_specs=[_spec_p(), v_spec],
@@ -786,31 +820,38 @@ def _build_aff_pairs(n_blocks: int, n_pts: int, interpret: bool):
 
     def call_fin(v, rinv):
         return pl.pallas_call(
-            _aff_pairs_fin_kernel,
-            out_shape=jax.ShapeDtypeStruct((n_pts, NLIMBS), u32),
+            kern_fin,
+            out_shape=jax.ShapeDtypeStruct((n_rows, k * NLIMBS), u32),
             grid=(n_blocks,),
             in_specs=[_spec_p(), v_spec, root_spec],
-            out_specs=_spec_pt(),
+            out_specs=o_spec,
             interpret=interpret,
         )(jnp.asarray(_P_ARR), v, rinv)
 
     return call_root, call_fin
 
 
-def aff_add_pairs_packed(v):
-    """Complete batched-affine adjacent-pair adds on a (m, 32) packed-pair
-    array -> (m, 16) packed sums. The MSM v8 level-1 hot op: every add in a
-    round is independent, so one shared batch inversion serves the round."""
+def l1_aff_halves(rows, L: int):
+    """MSM v8 level-1: reduce the (ncols, L*16) packed slab to one affine
+    point per column by log2(L) rounds of halves-pairing — round r adds
+    element i to element l/2+i of every column (same bucket by
+    construction), all adds of a round sharing one batch inversion. The
+    slab keeps its wide-minor layout at every round; returns the final
+    (ncols, 16) packed rows. ncols must be a multiple of BLK."""
     from ..fields import jax_field as jf
 
-    n = v.shape[0]
-    m = ((n + BLK - 1) // BLK) * BLK
-    if m != n:
-        v = jnp.concatenate([v, jnp.zeros((m - n, 2 * NLIMBS), u32)])
-    call_root, call_fin = _build_aff_pairs(m // BLK, m, interpret=not _on_tpu())
-    roots = call_root(v)
-    rinv = jf.batch_inv(jf.FQ, roots)
-    return call_fin(v, rinv)[:n]
+    ncols = rows.shape[0]
+    assert ncols % BLK == 0 and L & (L - 1) == 0
+    interp = not _on_tpu()
+    l = L
+    while l > 1:
+        k = l // 2
+        call_root, call_fin = _build_aff_halves(ncols // BLK, ncols, k, interp)
+        roots = call_root(rows)
+        rinv = jf.batch_inv(jf.FQ, roots)
+        rows = call_fin(rows, rinv)
+        l = k
+    return rows
 
 
 def _aff_prep_kernel(p_ref, x1_ref, y1_ref, px_ref, py_ref, den_ref, num_ref):

@@ -674,6 +674,13 @@ def _level1_pair(ops, rows, ncols: int, L: int):
     splits the packed slab by minor-dim halves (pure reshape); later rounds
     pair even/odd rows of the canonical coordinate arrays. Requires
     power-of-two L and an AffineOps `ops`."""
+    from ..curves import pallas_curve as _pc
+
+    if getattr(ops, "name", "") == "g1_aff" and _pc._on_tpu():
+        # fused halves-pairing kernels: the slab keeps its wide-minor
+        # (ncols, width) layout at every round — a flat (M, 16) pair view
+        # is 8x tile-padded at 2^20 scale (11 GB) and OOMs HBM
+        return ops.unpack_rows(_pc.l1_aff_halves(rows, L))
     nw = rows.shape[1] // L  # packed words per element
     M = ncols * L
     out = rows.reshape(M, nw)

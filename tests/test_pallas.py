@@ -107,34 +107,42 @@ def test_pallas_mont_mul_bls12_381_24_limbs():
     assert bool(jnp.all(jf.batch_inv(spec, nz) == jf.mont_inv(spec, nz)))
 
 
-def test_pallas_affine_pair_kernels_match_host():
-    """Fused pairwise batched-affine kernels (MSM v8 level-1) vs host ground
-    truth, covering doubling pairs, inverse pairs, identity lanes (packed
-    all-zero rows) and both-infinite pairs."""
+def test_pallas_affine_halves_kernels_match_host():
+    """Fused halves-pairing batched-affine kernels (MSM v8 level-1) vs host
+    ground truth: a (BLK, L*16) slab whose first columns hold doubling
+    pairs, inverse pairs and identity (all-zero) elements reduces to the
+    correct per-column sums."""
     from hekaton_tpu.curves import pallas_curve as pc
     from hekaton_tpu.curves.affine import AFF_G1, Aff
 
-    n = 6
-    ps = [ch.pt_mul(ch.g1_gen(), int(k)) for k in rng.randint(1, 2**30, size=n)]
-    qs = [ch.pt_mul(ch.g1_gen(), int(k)) for k in rng.randint(1, 2**30, size=n)]
-    ps += [ps[0], ps[1], None, ps[2], None]
-    qs += [ps[0], (ps[1][0], (-ps[1][1]) % ch.P), qs[0], None, None]
-    ax, ay = G1.pack_affine(ps)
-    bx, by = G1.pack_affine(qs)
-    v = jnp.concatenate(
-        [
-            AFF_G1.pack_rows(Aff(jnp.asarray(ax), jnp.asarray(ay))),
-            AFF_G1.pack_rows(Aff(jnp.asarray(bx), jnp.asarray(by))),
-        ],
-        axis=-1,
-    )
-    out = AFF_G1.unpack_rows(pc.aff_add_pairs_packed(v))
+    L = 4
+    ncols = pc.BLK
+    cols = []
+    g = ch.g1_gen()
+    cols.append([ch.pt_mul(g, 3), ch.pt_mul(g, 5), ch.pt_mul(g, 7), ch.pt_mul(g, 11)])
+    cols.append([ch.pt_mul(g, 9), ch.pt_mul(g, 9), None, ch.pt_mul(g, 2)])  # dbl pair
+    cols.append([ch.pt_mul(g, 4), None, ch.pt_neg(ch.pt_mul(g, 4)), None])  # inverse pair
+    cols.append([None, None, None, None])  # all identity
+    cols.append([ch.pt_mul(g, 13), None, None, None])
+    expected = [ch.msm_host(c, [1] * L) for c in cols]
+
+    slab = np.zeros((ncols, L * 16), np.uint32)
+    for j, col in enumerate(cols):
+        ax, ay = G1.pack_affine(col)
+        packed = np.asarray(
+            AFF_G1.pack_rows(Aff(jnp.asarray(ax), jnp.asarray(ay)))
+        )  # (L, 16)
+        slab[j] = packed.reshape(-1)
+    out = AFF_G1.unpack_rows(pc.l1_aff_halves(jnp.asarray(slab), L))
     got = G1.unpack_jacobian(AFF_G1.to_jacobian(out))
-    expected = [ch.pt_add(p, q) for p, q in zip(ps, qs)]
-    assert got == expected
-    # generic (XLA) path agrees
+    assert got[: len(cols)] == expected
+    assert got[len(cols)] is None  # untouched all-zero column -> identity
+
+    # generic pairwise path (CPU/BLS fallback in _level1_pair) agrees
     from hekaton_tpu.curves.affine import AffineOps
+    from hekaton_tpu.msm.pippenger import _level1_pair
 
     generic = AffineOps(AFF_G1.f, "g1_aff_generic")
-    out2 = AFF_G1.unpack_rows(generic.add_pairs_packed(v))
-    assert G1.unpack_jacobian(AFF_G1.to_jacobian(out2)) == expected
+    acc = _level1_pair(generic, jnp.asarray(slab), ncols, L)
+    got2 = G1.unpack_jacobian(AFF_G1.to_jacobian(acc))
+    assert got2[: len(cols)] == expected
