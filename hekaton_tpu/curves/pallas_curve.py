@@ -728,22 +728,14 @@ def _pack_rows_tiles(x, y):
     return jnp.concatenate(rows, axis=0)
 
 
-def _halves_dens(vt, k, p_col):
-    """Per-element slope denominators + running prefix products for a
-    (l*16, BLK) transposed packed slab split into halves (elements i and
-    k+i pair up). Returns (pairs, dens, prefixes): pairs[i] = (ax, ay, bx,
-    by) canonical limb tiles, prefixes[i] = den_0 * ... * den_i."""
-    pairs, dens, prefixes = [], [], []
-    prefix = None
-    for i in range(k):
-        ax, ay = _unpack_rows_tiles(vt[i * NLIMBS : (i + 1) * NLIMBS])
-        bx, by = _unpack_rows_tiles(vt[(k + i) * NLIMBS : (k + i + 1) * NLIMBS])
-        den = _aff_den_tiles(ax, ay, bx, by, p_col)
-        prefix = den if prefix is None else tile_mul(prefix, den, p_col)
-        pairs.append((ax, ay, bx, by))
-        dens.append(den)
-        prefixes.append(prefix)
-    return pairs, dens, prefixes
+def _halves_pair(vt, k, i):
+    """Unpack pair i of a (l*16, BLK) transposed packed slab split into
+    halves (element i pairs with element k+i). Recomputed on demand — tiles
+    are cheap to rebuild from the resident slab block, and RETAINING k
+    pairs of unpacked tiles overflows the kernel's scoped VMEM at k=16."""
+    ax, ay = _unpack_rows_tiles(vt[i * NLIMBS : (i + 1) * NLIMBS])
+    bx, by = _unpack_rows_tiles(vt[(k + i) * NLIMBS : (k + i + 1) * NLIMBS])
+    return ax, ay, bx, by
 
 
 def _aff_halves_root_kernel(p_ref, v_ref, root_ref, *, k):
@@ -753,8 +745,11 @@ def _aff_halves_root_kernel(p_ref, v_ref, root_ref, *, k):
     denominators (prefix chain along k, then a lane tree)."""
     p_col = p_ref[:]
     vt = v_ref[:].T  # (l*16, BLK)
-    _, _, prefixes = _halves_dens(vt, k, p_col)
-    cur = prefixes[-1]
+    prefix = None
+    for i in range(k):
+        den = _aff_den_tiles(*_halves_pair(vt, k, i), p_col)
+        prefix = den if prefix is None else tile_mul(prefix, den, p_col)
+    cur = prefix
     while cur.shape[1] > 1:
         half = cur.shape[1] // 2
         cur = tile_mul(cur[:, :half], cur[:, half:], p_col)
@@ -768,10 +763,17 @@ def _aff_halves_fin_kernel(p_ref, v_ref, rinv_ref, o_ref, *, k):
     inversion sequence), finish the k complete affine adds, and emit the
     sums PACKED as a (BLK, (l/2)*16) slab — the next round's input, with
     the minor dim wide at every scale (a narrow-minor (M, 16) layout at
-    2^20 scale is 8x tile-padded = 11 GB in HBM)."""
+    2^20 scale is 8x tile-padded = 11 GB in HBM). Only the k-tile prefix
+    chain is retained; pairs/denominators are recomputed where needed to
+    stay inside scoped VMEM."""
     p_col = p_ref[:]
     vt = v_ref[:].T
-    pairs, dens, prefixes = _halves_dens(vt, k, p_col)
+    prefixes = []
+    prefix = None
+    for i in range(k):
+        den = _aff_den_tiles(*_halves_pair(vt, k, i), p_col)
+        prefix = den if prefix is None else tile_mul(prefix, den, p_col)
+        prefixes.append(prefix)
     levels = []
     cur = prefixes[-1]
     while cur.shape[1] > 1:
@@ -785,19 +787,18 @@ def _aff_halves_fin_kernel(p_ref, v_ref, rinv_ref, o_ref, *, k):
         ir = tile_mul(inv, left, p_col)
         inv = jnp.concatenate([il, ir], axis=1)
     # inv = 1/P_{k-1} per lane; back-substitute: 1/den_i = inv_run * P_{i-1}
-    outs = [None] * k
     inv_run = inv
     for i in reversed(range(k)):
-        ax, ay, bx, by = pairs[i]
+        ax, ay, bx, by = _halves_pair(vt, k, i)
         inv_i = tile_mul(inv_run, prefixes[i - 1], p_col) if i > 0 else inv_run
         _, _, _, dy, _, dbl = _aff_flags(ax, ay, bx, by)
         x1sq = tile_sqr(ax, p_col)
         num = tile_select(dbl, tile_add(tile_add(x1sq, x1sq), x1sq), dy)
         x3, y3 = _aff_fin_tiles(ax, ay, bx, by, inv_i, num, p_col)
-        outs[i] = _pack_rows_tiles(x3, y3)
+        o_ref[:, i * NLIMBS : (i + 1) * NLIMBS] = _pack_rows_tiles(x3, y3).T
         if i > 0:
-            inv_run = tile_mul(inv_run, dens[i], p_col)
-    o_ref[:] = jnp.concatenate(outs, axis=0).T
+            den_i = _aff_den_tiles(ax, ay, bx, by, p_col)
+            inv_run = tile_mul(inv_run, den_i, p_col)
 
 
 @functools.lru_cache(maxsize=None)
