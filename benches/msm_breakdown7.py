@@ -38,8 +38,9 @@ def main():
     ax, ay = _make_points(n)
     sc = _make_scalars(n)
     ax, ay, sc = jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(sc)
+    assert level1 in ("mega", "pair", "steps"), level1
     neg_fn = lambda y: jf.neg(jf.FQ, y)
-    col_pad = _pc.MEGA_BLKC if level1 == "mega" else 1
+    col_pad = _pc.MEGA_BLKC if level1 == "mega" else (_pc.BLK if level1 == "pair" else 1)
 
     def plan_only(ax, ay, scalars):
         rows, col_bucket, _ = pp._plan_sorted(
@@ -58,7 +59,10 @@ def main():
         from hekaton_tpu.curves.affine import aff_for_curve
 
         ops = aff_for_curve(G1)
-        acc = pp._level1_rows(ops, rows, ncols, L, ax.shape[1:], step=ops.add_packed)
+        if level1 == "pair":
+            acc = pp._level1_pair(ops, rows, ncols, L)
+        else:
+            acc = pp._level1_rows(ops, rows, ncols, L, ax.shape[1:], step=ops.add_packed)
         return jnp.sum(acc.x[:64]), jnp.sum(col_bucket)
 
     def full(ax, ay, scalars):

@@ -216,7 +216,6 @@ class PallasAffG1Ops(AffineOps):
         return Aff(*_pc.aff_add_mixed_packed(p.x, p.y, rows))
 
 
-
 AFF_G1 = PallasAffG1Ops(jf.FqOps, "g1_aff")
 
 _AFF_BLS = None

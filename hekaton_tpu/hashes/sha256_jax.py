@@ -50,23 +50,37 @@ def _rotr(x, n):
 
 def sha256_compress(state, block):
     """One compression: state (..., 8) u32, block (..., 16) u32 big-endian
-    words -> new state (..., 8). Batched over leading axes."""
-    w = [block[..., t] for t in range(16)]
-    for t in range(16, 64):
-        s0 = _rotr(w[t - 15], 7) ^ _rotr(w[t - 15], 18) ^ (w[t - 15] >> 3)
-        s1 = _rotr(w[t - 2], 17) ^ _rotr(w[t - 2], 19) ^ (w[t - 2] >> 10)
-        w.append(w[t - 16] + s0 + w[t - 7] + s1)
-    a, b, c, d, e, f, g, h = [state[..., i] for i in range(8)]
-    for t in range(64):
+    words -> new state (..., 8). Batched over leading axes.
+
+    Both the message schedule and the 64 rounds run as `lax.scan` loops
+    (sliding 16-word window carry for the schedule) rather than unrolled
+    chains: one traced round body instead of a 64-deep op chain keeps the
+    HLO small and compile fast, and XLA executes the loop natively."""
+    w0 = jnp.moveaxis(block, -1, 0)  # (16, ...)
+
+    def sched_step(win, _):
+        # win: (16, ...) sliding window holding w[t-16..t-1]
+        s0 = _rotr(win[1], 7) ^ _rotr(win[1], 18) ^ (win[1] >> 3)
+        s1 = _rotr(win[14], 17) ^ _rotr(win[14], 19) ^ (win[14] >> 10)
+        wt = win[0] + s0 + win[9] + s1
+        return jnp.concatenate([win[1:], wt[None]], axis=0), wt
+
+    _, wext = jax.lax.scan(sched_step, w0, None, length=48)
+    w = jnp.concatenate([w0, wext], axis=0)  # (64, ...)
+
+    def round_step(st, kw):
+        a, b, c, d, e, f, g, h = st
+        kt, wt = kw
         S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
-        t1 = h + S1 + ch + jnp.uint32(_K[t]) + w[t]
+        t1 = h + S1 + ch + kt + wt
         S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
         maj = (a & b) ^ (a & c) ^ (b & c)
-        t2 = S0 + maj
-        h, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
-    out = jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
-    return out + state
+        return (t1 + S0 + maj, a, b, c, d + t1, e, f, g), None
+
+    init = tuple(state[..., i] for i in range(8))
+    fin, _ = jax.lax.scan(round_step, init, (jnp.asarray(_K), w))
+    return jnp.stack(fin, axis=-1) + state
 
 
 def _bytes_to_blocks(data: bytes) -> np.ndarray:

@@ -639,6 +639,97 @@ def _plan_sorted(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn, col_pad: i
     return rows, col_bucket, (W, B, NB, n_in, ncols, nlimb)
 
 
+def _plan_sorted_w(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn, col_pad: int = 1):
+    """v9 plan: the v7 padded-sort plan with PER-WINDOW batched sorts.
+
+    Both sorts run as ONE batched `lax.sort` over a (W, N)-shaped stream
+    (sorting each window's digits independently along the last axis)
+    instead of one flat (W*N,) sort of window-offset keys. A bitonic-style
+    sort network's stage count grows ~log^2(n), so splitting the 21M-row
+    stream into W= ~20 independent 1M-row sorts cuts the stage count ~30%
+    — and the keys shrink to bare digits. Everything downstream (slab
+    layout, collapse, readout) is unchanged because the concatenated
+    window-major column stream keeps bucket ids globally sorted: each
+    window's tail-sentinel columns get id w*B + B, which for w < W-1
+    aliases window w+1's digit-0 bucket — harmless, because digit 0 has
+    weight 0 and `_suffix_weighted` drops T_0 per window — and for the
+    last window equals NB, the global sentinel the collapse expects.
+
+    Same contract as _plan_sorted: returns (rows, col_bucket,
+    (W, B, NB, n_in, ncols, nlimb)).
+    """
+    N = ax.shape[0]
+    coord_shape = ax.shape[1:]
+    nlimb = int(np.prod(coord_shape))
+    half = nlimb // 2
+    mag, neg = signed_digits_for_windows(scalars, c, nbits)  # (W, N) each
+    W = mag.shape[0]
+    B = (1 << (c - 1)) + 1
+    NB = W * B
+    SENT = jnp.uint32(0xFFFFFFFF)
+
+    # pass 1: batched key-only sort -> per-(window, digit) alignment pads
+    sk0 = jax.lax.sort(mag, dimension=1)  # (W, N)
+    ids = jnp.arange(B, dtype=mag.dtype)
+    starts = jax.vmap(lambda row: jnp.searchsorted(row, ids, side="left"))(sk0).astype(u32)
+    ends = jnp.concatenate([starts[:, 1:], jnp.full((W, 1), N, u32)], axis=1)
+    counts = ends - starts  # (W, B)
+    pads = (jnp.uint32(L) - (counts % jnp.uint32(L))) % jnp.uint32(L)
+    if L > 1:
+        pad_keys = jnp.where(
+            jnp.arange(L - 1, dtype=u32)[None, None, :] < pads[:, :, None],
+            ids[None, :, None],
+            SENT,
+        ).reshape(W, B * (L - 1))
+    else:
+        pad_keys = jnp.zeros((W, 0), u32)
+    npad = pad_keys.shape[1]
+    M0 = N + npad
+    M = ((M0 + L - 1) // L) * L
+    tail_n = M - M0
+
+    def _pack2(a):
+        a = a.reshape(a.shape[0], nlimb)
+        return a[:, 0::2] | (a[:, 1::2] << 16)
+
+    pax = _pack2(ax)  # (N, nlimb//2)
+    pay = _pack2(ay)
+    payn = _pack2(neg_fn(ay))
+    negb = neg.astype(bool)  # (W, N)
+    zpad = jnp.zeros((W, npad + tail_n), u32)
+    keys = jnp.concatenate([mag, pad_keys, jnp.full((W, tail_n), SENT)], axis=1)
+    sort_ops = [keys]
+    for j in range(half):
+        sort_ops.append(
+            jnp.concatenate([jnp.broadcast_to(pax[:, j][None, :], (W, N)), zpad], axis=1)
+        )
+    for j in range(half):
+        sort_ops.append(
+            jnp.concatenate(
+                [jnp.where(negb, payn[:, j][None, :], pay[:, j][None, :]), zpad], axis=1
+            )
+        )
+    out = jax.lax.sort(tuple(sort_ops), dimension=1, num_keys=1)
+    skf, swords = out[0], list(out[1:])
+
+    mcols = M // L
+    col_keys = skf[:, ::L]  # (W, mcols) first element of each column
+    wbase = (jnp.arange(W, dtype=jnp.int32) * jnp.int32(B))[:, None]
+    col_bucket = jnp.where(
+        col_keys == SENT, wbase + jnp.int32(B), wbase + col_keys.astype(jnp.int32)
+    ).reshape(-1)
+
+    ncols0 = W * mcols
+    ncols = ((ncols0 + col_pad - 1) // col_pad) * col_pad
+    rows = jnp.stack(swords, axis=-1).reshape(ncols0, L * nlimb)
+    if ncols != ncols0:
+        rows = jnp.concatenate([rows, jnp.zeros((ncols - ncols0, L * nlimb), u32)])
+        col_bucket = jnp.concatenate(
+            [col_bucket, jnp.full((ncols - ncols0,), jnp.int32(NB))]
+        )
+    return rows, col_bucket, (W, B, NB, W * N, ncols, nlimb)
+
+
 def _level1_rows(ops, rows, ncols: int, L: int, coord_shape, step=None):
     """Stage 3 over a pre-assembled (ncols, L*nlimb) column-major slab: step g
     consumes the minor-dim slice [g*nlimb, (g+1)*nlimb) — a lane-aligned
@@ -779,7 +870,9 @@ def msm_tpu(
     monotone indices) is gone entirely; the window Horner combine runs as
     one fused kernel. `accum`: "affine" (default on G1 curves) or "proj"
     (the RCB path, kept for A/B benchmarking; always used for G2/Fq2);
-    `plan="gather"` keeps the v6 index-gather plan for A/B.
+    `plan="wsort"` (v9) batches both plan sorts per window (~30% fewer
+    sort-network stages); `plan="gather"` keeps the v6 index-gather plan
+    for A/B.
 
     Structure per level: one sorted key stream for all windows,
     padded-bucket flat gathers, stride-doubling bucket collapse,
@@ -805,8 +898,18 @@ def msm_tpu(
     is_bn_g1 = curve.f.ndim == 1 and curve.f.spec.modulus == _P254
     if level1 is None:
         level1 = "mega" if is_bn_g1 else "steps"
-    if level1 == "pair" and (accum != "affine" or plan != "sort" or L & (L - 1)):
-        level1 = "steps"  # pairwise tree needs the sorted slab + affine ops
+    if level1 == "pair" and (accum != "affine" or plan not in ("sort", "wsort") or L & (L - 1)):
+        # The pairwise tree needs the sorted slab + affine ops; downgrading a
+        # caller's explicit request silently would mislabel A/B benchmarks.
+        import warnings
+
+        warnings.warn(
+            f"msm_tpu: level1='pair' needs accum='affine', plan='sort' and "
+            f"power-of-two L (got accum={accum!r}, plan={plan!r}, L={L}); "
+            "falling back to level1='steps'",
+            stacklevel=2,
+        )
+        level1 = "steps"
     if not is_bn_g1 and level1 == "mega":
         level1 = "steps"  # the mega kernel is BN254-G1-specialized
     coord_shape = ax.shape[1:]
@@ -824,12 +927,13 @@ def msm_tpu(
     else:
         ops = proj
 
-    assert plan in ("sort", "gather")
-    if plan == "sort":
+    assert plan in ("sort", "wsort", "gather")
+    if plan in ("sort", "wsort"):
         from ..curves import pallas_curve as _pc
         from ..curves.proj import Proj
 
-        rows, col_bucket, (W, B, NB, n_in, ncols, nlimb) = _plan_sorted(
+        plan_fn = _plan_sorted_w if plan == "wsort" else _plan_sorted
+        rows, col_bucket, (W, B, NB, n_in, ncols, nlimb) = plan_fn(
             ax,
             ay,
             scalars,
