@@ -1,13 +1,14 @@
 """A/B microbench of MSM designs on the real chip.
 
-Usage: python benches/msm_ab.py [v9|v9m|v8|v7|v7m|v7mp|v6|v6p|v5|v4|v2|both|all] [log2n] [c] [L] [G]
+Usage: python benches/msm_ab.py [v10|v10m|v9|v9m|v8|v7|v7m|v7mp|v6|v6p|v5|v4|v2|both|all] [log2n] [c] [L] [G]
+  v10 = transposed-placement planar slab + pairwise-tree (v10m: mega)
   v9  = per-window batched sorts + pairwise-tree rounds (v9m: mega level-1)
   v8  = padded-sort plan + pairwise-tree fused batched-affine rounds
   v7  = padded-sort plan (zero gathers) + per-step batched-affine slab adds
   v7m = padded-sort plan + RCB mega kernel (v7mp: proj accumulators)
   v6  = gather plan + mega kernel (the v5/r3 production path; v6p: proj)
   v5/v4 = gather plan, per-step gathers, affine/proj; v2 = unsigned Jacobian.
-  both = [v9, v8]; all = [v9, v9m, v8, v7m, v7].
+  both = [v10, v10m]; all = [v10, v10m, v9, v8, v7m].
 Prints per-design wall time + points/sec after a warmup run.
 """
 from __future__ import annotations
@@ -42,6 +43,8 @@ def main():
     ax, ay, sc = jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(sc)
 
     designs = {
+        "v10": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", level1="pair", plan="tsort"),
+        "v10m": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", level1="mega", plan="tsort"),
         "v9": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", level1="pair", plan="wsort"),
         "v9m": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", level1="mega", plan="wsort"),
         "v8": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="affine", level1="pair", plan="sort"),
@@ -54,7 +57,7 @@ def main():
         "v4": lambda x, y, s: pp.msm_tpu(G1, x, y, s, c=c, L=L, accum="proj", G=G, level1="steps", plan="gather"),
         "v2": lambda x, y, s: pp.msm_tpu_jac(G1, x, y, s, c=c, L=L),
     }
-    names = {"both": ["v9", "v8"], "all": ["v9", "v9m", "v8", "v7m", "v7"]}.get(which, [which])
+    names = {"both": ["v10", "v10m"], "all": ["v10", "v10m", "v9", "v8", "v7m"]}.get(which, [which])
     for name in names:
         fn = jax.jit(designs[name])
         # NB: materialize via np.asarray — on the remote (axon) backend

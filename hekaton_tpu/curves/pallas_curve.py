@@ -357,6 +357,20 @@ def _aff_flags(x1, y1, px, py):
     return q_inf, p_inf, dx, dy, same_x, dbl
 
 
+def _num_tiles(x1, dy, dbl, p_col):
+    """The slope numerator: dy on chord lanes, 3*x1^2 on doubling lanes.
+    The squaring (1 of the ~8 muls of a batched-affine add) runs under a
+    block-level `lax.cond`: doubling lanes only occur when the same point
+    appears twice in one bucket, so most blocks skip it at runtime."""
+    any_dbl = jnp.any(dbl)
+
+    def with_dbl(x1=x1, dy=dy, dbl=dbl, p_col=p_col):
+        x1sq = tile_sqr(x1, p_col)
+        return tile_select(dbl, tile_add(tile_add(x1sq, x1sq), x1sq), dy)
+
+    return jax.lax.cond(any_dbl, with_dbl, lambda: dy)
+
+
 def _aff_prep_tiles(x1, y1, px, py, p_col):
     """(den, num) of the affine chord/tangent slope for (x1,y1) + (px,py).
 
@@ -365,10 +379,8 @@ def _aff_prep_tiles(x1, y1, px, py, p_col):
     inverse pair) get den = 1 so the batched inversion stays well-defined —
     the finish kernel selects their real result."""
     q_inf, p_inf, dx, dy, same_x, dbl = _aff_flags(x1, y1, px, py)
-    x1sq = tile_sqr(x1, p_col)
-    num_dbl = tile_add(tile_add(x1sq, x1sq), x1sq)
     den = tile_select(dbl, tile_add(y1, y1), dx)
-    num = tile_select(dbl, num_dbl, dy)
+    num = _num_tiles(x1, dy, dbl, p_col)
     degen = jnp.logical_or(
         jnp.logical_or(q_inf, p_inf), jnp.logical_and(same_x, jnp.logical_not(dbl))
     )
@@ -449,8 +461,7 @@ def _aff_fin_tree_kernel(p_ref, x1_ref, y1_ref, px_ref, py_ref, rinv_ref, ox_ref
         inv = jnp.concatenate([il, ir], axis=1)
     # num as in _aff_prep_tiles, then the shared finish
     _, _, _, dy, _, dbl = _aff_flags(x1, y1, px, py)
-    x1sq = tile_sqr(x1, p_col)
-    num = tile_select(dbl, tile_add(tile_add(x1sq, x1sq), x1sq), dy)
+    num = _num_tiles(x1, dy, dbl, p_col)
     x3, y3 = _aff_fin_tiles(x1, y1, px, py, inv, num, p_col)
     ox_ref[:] = x3.T
     oy_ref[:] = y3.T
@@ -484,8 +495,61 @@ def _l1_mega_kernel(p_ref, slab_ref, ox_ref, oy_ref, oz_ref):
 MEGA_BLKC = 1024
 
 
+def _interleave_slab_t_kernel(*refs):
+    plane_refs, o_ref = refs[:-1], refs[-1]
+    for r in range(plane_refs[0].shape[0]):
+        for j in range(16):
+            o_ref[r * 16 + j, :] = plane_refs[j][r, :]
+
+
 @functools.lru_cache(maxsize=None)
-def _build_l1_mega(n_blocks: int, n_cols: int, L: int, interpret: bool):
+def _build_interleave_slab_t(W: int, nb: int, mcols: int, L: int, chunk: int, interpret: bool):
+    n_cols = W * mcols
+    gb = L // 8  # 8-row g-groups per window
+    plane_spec = pl.BlockSpec((8, chunk), lambda t, ci: (t, ci), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (8 * NLIMBS, chunk),
+        lambda t, ci: (t % gb, (t // gb) * nb + ci),
+        memory_space=pltpu.VMEM,
+    )
+
+    def call(planes):
+        return pl.pallas_call(
+            _interleave_slab_t_kernel,
+            out_shape=jax.ShapeDtypeStruct((L * NLIMBS, n_cols), u32),
+            grid=(W * gb, nb),
+            in_specs=[plane_spec] * 16,
+            out_specs=out_spec,
+            interpret=interpret,
+        )(*planes)
+
+    return call
+
+
+def interleave_slab_t(planes, blkc: int = MEGA_BLKC):
+    """16 (W, L, mcols) word planes (transposed-placement sort output) ->
+    the (L*16, W*mcols) TRANSPOSED packed slab the mega/halves kernels
+    consume. Blocks are (8, chunk) groups of full-width contiguous plane
+    rows mapping to 128 contiguous output rows, so every DMA granule is
+    a multi-KB contiguous run. A first cut blocked (1, L, blkc)/(L*16,
+    blkc); that transfer pattern ran latency-bound at ~0.4 s for 2.9 GB —
+    the same per-row-latency wall as the v4-v6 random gathers. This
+    kernel replaces the XLA `stack(...,-1).reshape(...)` interleave whose
+    minor-16 intermediate is 8x tile-padded (~0.45 s at 2^20;
+    benches/plan_pieces.py). Requires L % 8 == 0 (the production shapes);
+    callers fall back to the XLA interleave otherwise."""
+    W, L, mcols = planes[0].shape
+    assert L % 8 == 0, "interleave kernel wants 8-row g-groups"
+    nb = 1
+    while mcols // nb > 8192 or mcols % nb:
+        nb += 1
+    flat = tuple(p.reshape(W * L, mcols) for p in planes)
+    call = _build_interleave_slab_t(W, nb, mcols, L, mcols // nb, interpret=not _on_tpu())
+    return call(flat)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_l1_mega(n_blocks: int, n_cols: int, L: int, interpret: bool, blkc: int = MEGA_BLKC):
     def call(slab_t):
         return pl.pallas_call(
             _l1_mega_kernel,
@@ -493,12 +557,10 @@ def _build_l1_mega(n_blocks: int, n_cols: int, L: int, interpret: bool):
             grid=(n_blocks,),
             in_specs=[
                 _spec_p(),
-                pl.BlockSpec(
-                    (L * NLIMBS, MEGA_BLKC), lambda i: (0, i), memory_space=pltpu.VMEM
-                ),
+                pl.BlockSpec((L * NLIMBS, blkc), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
             out_specs=tuple(
-                pl.BlockSpec((MEGA_BLKC, NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec((blkc, NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
                 for _ in range(3)
             ),
             interpret=interpret,
@@ -507,14 +569,14 @@ def _build_l1_mega(n_blocks: int, n_cols: int, L: int, interpret: bool):
     return call
 
 
-def l1_rcb_mega(slab_t, L: int):
+def l1_rcb_mega(slab_t, L: int, blkc: int = MEGA_BLKC):
     """Run the level-1 mega kernel on a (L*16, ncols) transposed slab of
-    packed 64 B rows; ncols must be a multiple of MEGA_BLKC (the plan pads
-    with infinity-row columns). Returns projective (x, y, z) as (ncols, 16)
-    arrays."""
+    packed 64 B rows; ncols must be a multiple of the block width (the
+    plan pads with infinity-row columns). Returns projective (x, y, z) as
+    (ncols, 16) arrays."""
     ncols = slab_t.shape[1]
-    assert ncols % MEGA_BLKC == 0
-    call = _build_l1_mega(ncols // MEGA_BLKC, ncols, L, interpret=not _on_tpu())
+    assert ncols % blkc == 0
+    call = _build_l1_mega(ncols // blkc, ncols, L, interpret=not _on_tpu(), blkc=blkc)
     return call(slab_t)
 
 
@@ -614,8 +676,7 @@ def _aff_fin_tree_packed_kernel(p_ref, x1_ref, y1_ref, rows_ref, rinv_ref, ox_re
         ir = tile_mul(inv, left, p_col)
         inv = jnp.concatenate([il, ir], axis=1)
     _, _, _, dy, _, dbl = _aff_flags(x1, y1, px, py)
-    x1sq = tile_sqr(x1, p_col)
-    num = tile_select(dbl, tile_add(tile_add(x1sq, x1sq), x1sq), dy)
+    num = _num_tiles(x1, dy, dbl, p_col)
     x3, y3 = _aff_fin_tiles(x1, y1, px, py, inv, num, p_col)
     ox_ref[:] = x3.T
     oy_ref[:] = y3.T
@@ -738,13 +799,15 @@ def _halves_pair(vt, k, i):
     return ax, ay, bx, by
 
 
-def _aff_halves_root_kernel(p_ref, v_ref, root_ref, *, k):
+def _aff_halves_root_kernel(p_ref, v_ref, root_ref, *, k, tr=False):
     """Fused halves-pair kernel A: v is (BLK, l*16) — each row holds one
     slab column's l packed elements; element i pairs with element k+i
     (k = l/2). Emits the per-block product root of ALL k*BLK masked slope
-    denominators (prefix chain along k, then a lane tree)."""
+    denominators (prefix chain along k, then a lane tree). With tr=True
+    the block arrives already transposed ((l*16, BLK) — the orientation
+    the interleave kernel emits), skipping the in-kernel transpose."""
     p_col = p_ref[:]
-    vt = v_ref[:].T  # (l*16, BLK)
+    vt = v_ref[:] if tr else v_ref[:].T  # (l*16, BLK)
     prefix = None
     for i in range(k):
         den = _aff_den_tiles(*_halves_pair(vt, k, i), p_col)
@@ -756,7 +819,7 @@ def _aff_halves_root_kernel(p_ref, v_ref, root_ref, *, k):
     root_ref[pl.ds(pl.program_id(0), 1), :] = cur.T
 
 
-def _aff_halves_fin_kernel(p_ref, v_ref, rinv_ref, o_ref, *, k):
+def _aff_halves_fin_kernel(p_ref, v_ref, rinv_ref, o_ref, *, k, tr=False):
     """Fused halves-pair kernel B: walk the rebuilt lane tree down from the
     inverted block root to per-lane 1/P_{k-1}, back-substitute along the
     k prefix chain to every element's 1/den (the classic Montgomery batch-
@@ -767,7 +830,7 @@ def _aff_halves_fin_kernel(p_ref, v_ref, rinv_ref, o_ref, *, k):
     chain is retained; pairs/denominators are recomputed where needed to
     stay inside scoped VMEM."""
     p_col = p_ref[:]
-    vt = v_ref[:].T
+    vt = v_ref[:] if tr else v_ref[:].T
     prefixes = []
     prefix = None
     for i in range(k):
@@ -792,22 +855,30 @@ def _aff_halves_fin_kernel(p_ref, v_ref, rinv_ref, o_ref, *, k):
         ax, ay, bx, by = _halves_pair(vt, k, i)
         inv_i = tile_mul(inv_run, prefixes[i - 1], p_col) if i > 0 else inv_run
         _, _, _, dy, _, dbl = _aff_flags(ax, ay, bx, by)
-        x1sq = tile_sqr(ax, p_col)
-        num = tile_select(dbl, tile_add(tile_add(x1sq, x1sq), x1sq), dy)
+        num = _num_tiles(ax, dy, dbl, p_col)
         x3, y3 = _aff_fin_tiles(ax, ay, bx, by, inv_i, num, p_col)
-        o_ref[:, i * NLIMBS : (i + 1) * NLIMBS] = _pack_rows_tiles(x3, y3).T
+        if tr:
+            o_ref[i * NLIMBS : (i + 1) * NLIMBS, :] = _pack_rows_tiles(x3, y3)
+        else:
+            o_ref[:, i * NLIMBS : (i + 1) * NLIMBS] = _pack_rows_tiles(x3, y3).T
         if i > 0:
             den_i = _aff_den_tiles(ax, ay, bx, by, p_col)
             inv_run = tile_mul(inv_run, den_i, p_col)
 
 
 @functools.lru_cache(maxsize=None)
-def _build_aff_halves(n_blocks: int, n_rows: int, k: int, interpret: bool):
+def _build_aff_halves(n_blocks: int, n_rows: int, k: int, interpret: bool, blk: int = BLK, tr: bool = False):
     root_spec = pl.BlockSpec((n_blocks, NLIMBS), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    v_spec = pl.BlockSpec((BLK, 2 * k * NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((BLK, k * NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    kern_root = functools.partial(_aff_halves_root_kernel, k=k)
-    kern_fin = functools.partial(_aff_halves_fin_kernel, k=k)
+    if tr:
+        v_spec = pl.BlockSpec((2 * k * NLIMBS, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((k * NLIMBS, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((k * NLIMBS, n_rows), u32)
+    else:
+        v_spec = pl.BlockSpec((blk, 2 * k * NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((blk, k * NLIMBS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_rows, k * NLIMBS), u32)
+    kern_root = functools.partial(_aff_halves_root_kernel, k=k, tr=tr)
+    kern_fin = functools.partial(_aff_halves_fin_kernel, k=k, tr=tr)
 
     def call_root(v):
         return pl.pallas_call(
@@ -822,7 +893,7 @@ def _build_aff_halves(n_blocks: int, n_rows: int, k: int, interpret: bool):
     def call_fin(v, rinv):
         return pl.pallas_call(
             kern_fin,
-            out_shape=jax.ShapeDtypeStruct((n_rows, k * NLIMBS), u32),
+            out_shape=out_shape,
             grid=(n_blocks,),
             in_specs=[_spec_p(), v_spec, root_spec],
             out_specs=o_spec,
@@ -832,22 +903,50 @@ def _build_aff_halves(n_blocks: int, n_rows: int, k: int, interpret: bool):
     return call_root, call_fin
 
 
-def l1_aff_halves(rows, L: int):
+def l1_aff_halves_t(slab_t, L: int, max_blk: int = BLK):
+    """MSM v11 level-1 (pair path) in TRANSPOSED orientation end-to-end:
+    every halves-pairing round consumes and emits (l*16, ncols) slabs —
+    the orientation the interleave kernel produces — so no round pays an
+    in-kernel block transpose. Returns the final (16, ncols) packed rows
+    (callers transpose once at the tiny terminal shape)."""
+    from ..fields import jax_field as jf
+
+    ncols = slab_t.shape[1]
+    assert L & (L - 1) == 0 and slab_t.shape[0] == L * NLIMBS
+    interp = not _on_tpu()
+    l = L
+    while l > 1:
+        k = l // 2
+        blk = min(max_blk, BLK if k <= 8 else max(128, BLK * 8 // k))
+        assert ncols % blk == 0
+        call_root, call_fin = _build_aff_halves(ncols // blk, ncols, k, interp, blk=blk, tr=True)
+        roots = call_root(slab_t)
+        rinv = jf.batch_inv(jf.FQ, roots)
+        slab_t = call_fin(slab_t, rinv)
+        l = k
+    return slab_t
+
+
+def l1_aff_halves(rows, L: int, max_blk: int = BLK):
     """MSM v8 level-1: reduce the (ncols, L*16) packed slab to one affine
     point per column by log2(L) rounds of halves-pairing — round r adds
     element i to element l/2+i of every column (same bucket by
     construction), all adds of a round sharing one batch inversion. The
     slab keeps its wide-minor layout at every round; returns the final
-    (ncols, 16) packed rows. ncols must be a multiple of BLK."""
+    (ncols, 16) packed rows. ncols must be a multiple of the block width."""
     from ..fields import jax_field as jf
 
     ncols = rows.shape[0]
-    assert ncols % BLK == 0 and L & (L - 1) == 0
+    assert ncols % min(max_blk, BLK) == 0 and L & (L - 1) == 0
     interp = not _on_tpu()
     l = L
     while l > 1:
         k = l // 2
-        call_root, call_fin = _build_aff_halves(ncols // BLK, ncols, k, interp)
+        # scoped VMEM scales with blk*k: shrink the block width for the wide
+        # early rounds (k=16 at blk=1024 overflowed the 16 MB scoped limit
+        # at 2^20 scale) so every round's working set stays ~constant
+        blk = min(max_blk, BLK if k <= 8 else max(128, BLK * 8 // k))
+        call_root, call_fin = _build_aff_halves(ncols // blk, ncols, k, interp, blk=blk)
         roots = call_root(rows)
         rinv = jf.batch_inv(jf.FQ, roots)
         rows = call_fin(rows, rinv)
@@ -1066,7 +1165,7 @@ def _spec_pt(width: int = NLIMBS):
 
 
 def _spec_p():
-    return pl.BlockSpec((NLIMBS, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((NLIMBS, 1), lambda *_: (0, 0), memory_space=pltpu.VMEM)
 
 
 def _on_tpu() -> bool:

@@ -730,6 +730,105 @@ def _plan_sorted_w(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn, col_pad:
     return rows, col_bucket, (W, B, NB, W * N, ncols, nlimb)
 
 
+def _plan_sorted_t(ax, ay, scalars, c: int, L: int, nbits: int, neg_fn, blkc: int):
+    """v10 plan: TRANSPOSED-PLACEMENT payload sort -> word-planar slab.
+
+    The v7-v9 plans ended with `stack(swords, -1).reshape(ncols, L*16)` —
+    an HBM interleave whose minor-16 intermediate is 8x tile-padded; at
+    2^20 it cost ~0.45 s, dwarfing the 17-operand payload sort itself
+    (~0.09 s, benches/plan_pieces.py). v10 removes the interleave: sort
+    the payload words ONCE with keys equal to each element's final
+    TRANSPOSED position, so the sorted word streams reshape (for free)
+    into (W, L, mcols) planes whose minor dim is the wide mcols — no
+    padded layout anywhere. Level-1 kernels read the 16 planes directly
+    and assemble limb tiles in VMEM (pallas_curve._planar_tiles).
+
+    Placement keys come from two cheap 2-operand sorts:
+      (a) rank sort: sort (padded keys, iota) -> sorted keys (for
+          col_bucket) + sid[r] = original index of rank r;
+      (b) inversion: sort (sid, p_static) where p_static[r] = the static
+          rank->transposed-position map — ascending sid is a permutation,
+          so the payload emerges as key2[q] = final position of original
+          index q.
+    Window batching as in _plan_sorted_w (tail sentinels alias the next
+    window's weight-0 digit-0 bucket).
+
+    Returns (planes, col_bucket, meta): planes = 16 (W, L, mcols) u32
+    word planes (8 x-words then 8 y-words, 2 limbs/word), col_bucket
+    (W*mcols,), meta = (W, B, NB, n_in, ncols, nlimb).
+    """
+    N = ax.shape[0]
+    coord_shape = ax.shape[1:]
+    nlimb = int(np.prod(coord_shape))
+    half = nlimb // 2
+    mag, neg = signed_digits_for_windows(scalars, c, nbits)  # (W, N)
+    W = mag.shape[0]
+    B = (1 << (c - 1)) + 1
+    NB = W * B
+    SENT = jnp.uint32(0xFFFFFFFF)
+
+    # counts -> per-bucket alignment pads (key-only batched sort)
+    sk0 = jax.lax.sort(mag, dimension=1)
+    ids = jnp.arange(B, dtype=mag.dtype)
+    starts = jax.vmap(lambda row: jnp.searchsorted(row, ids, side="left"))(sk0).astype(u32)
+    ends = jnp.concatenate([starts[:, 1:], jnp.full((W, 1), N, u32)], axis=1)
+    counts = ends - starts
+    pads = (jnp.uint32(L) - (counts % jnp.uint32(L))) % jnp.uint32(L)
+    if L > 1:
+        pad_keys = jnp.where(
+            jnp.arange(L - 1, dtype=u32)[None, None, :] < pads[:, :, None],
+            ids[None, :, None],
+            SENT,
+        ).reshape(W, B * (L - 1))
+    else:
+        pad_keys = jnp.zeros((W, 0), u32)
+    npad = pad_keys.shape[1]
+    M0 = N + npad
+    mcols = ((M0 + L - 1) // L + blkc - 1) // blkc * blkc
+    M = mcols * L
+    tail_n = M - M0
+
+    keys = jnp.concatenate([mag, pad_keys, jnp.full((W, tail_n), SENT)], axis=1)
+    iota = jnp.broadcast_to(jnp.arange(M, dtype=u32)[None], (W, M))
+    sk, sid = jax.lax.sort((keys, iota), dimension=1, num_keys=1)
+
+    r = jnp.arange(M, dtype=u32)
+    p_static = (r % jnp.uint32(L)) * jnp.uint32(mcols) + r // jnp.uint32(L)
+    _, key2 = jax.lax.sort(
+        (sid, jnp.broadcast_to(p_static[None], (W, M))), dimension=1, num_keys=1
+    )
+
+    def _pack2(a):
+        a = a.reshape(a.shape[0], nlimb)
+        return a[:, 0::2] | (a[:, 1::2] << 16)
+
+    pax = _pack2(ax)
+    pay = _pack2(ay)
+    payn = _pack2(neg_fn(ay))
+    negb = neg.astype(bool)
+    zpad = jnp.zeros((W, npad + tail_n), u32)
+    sort_ops = [key2]
+    for j in range(half):
+        sort_ops.append(
+            jnp.concatenate([jnp.broadcast_to(pax[:, j][None, :], (W, N)), zpad], axis=1)
+        )
+    for j in range(half):
+        sort_ops.append(
+            jnp.concatenate(
+                [jnp.where(negb, payn[:, j][None, :], pay[:, j][None, :]), zpad], axis=1
+            )
+        )
+    out = jax.lax.sort(tuple(sort_ops), dimension=1, num_keys=1)
+    planes = [o.reshape(W, L, mcols) for o in out[1:]]
+
+    col_keys = sk[:, ::L]  # rank-space column heads
+    wbase = (jnp.arange(W, dtype=jnp.int32) * jnp.int32(B))[:, None]
+    col_bucket = jnp.where(
+        col_keys == SENT, wbase + jnp.int32(B), wbase + col_keys.astype(jnp.int32)
+    ).reshape(-1)
+    return planes, col_bucket, (W, B, NB, W * N, W * mcols, nlimb)
+
+
 def _level1_rows(ops, rows, ncols: int, L: int, coord_shape, step=None):
     """Stage 3 over a pre-assembled (ncols, L*nlimb) column-major slab: step g
     consumes the minor-dim slice [g*nlimb, (g+1)*nlimb) — a lane-aligned
@@ -851,9 +950,9 @@ def msm_tpu(
     accum: str | None = None,
     G: int = 1,
     level1: str | None = None,
-    plan: str = "sort",
+    plan: str | None = None,
 ) -> Jac:
-    """Variable-base MSM structured for TPU — v7.
+    """Variable-base MSM structured for TPU — v9 default.
 
     Over the v2 design (msm_tpu_jac below): signed window digits halve
     the per-window bucket count (2^(c-1)+1 vs 2^c) with negation folded
@@ -870,9 +969,12 @@ def msm_tpu(
     monotone indices) is gone entirely; the window Horner combine runs as
     one fused kernel. `accum`: "affine" (default on G1 curves) or "proj"
     (the RCB path, kept for A/B benchmarking; always used for G2/Fq2);
-    `plan="wsort"` (v9) batches both plan sorts per window (~30% fewer
-    sort-network stages); `plan="gather"` keeps the v6 index-gather plan
-    for A/B.
+    `plan="wsort"` (v9, the BN254-G1 default) batches both plan sorts per
+    window (~30% fewer sort-network stages); `plan="tsort"` (v10/v11)
+    sorts payloads straight into a transposed word-planar slab — measured
+    slightly SLOWER than wsort at 2^20 (the two extra placement sorts
+    cost more than the interleave they remove; PERFORMANCE.md r5), kept
+    for A/B; `plan="gather"` keeps the v6 index-gather plan for A/B.
 
     Structure per level: one sorted key stream for all windows,
     padded-bucket flat gathers, stride-doubling bucket collapse,
@@ -896,9 +998,22 @@ def msm_tpu(
     from ..fields.bn254 import P as _P254
 
     is_bn_g1 = curve.f.ndim == 1 and curve.f.spec.modulus == _P254
+    if plan is None:
+        # per-window batched sorts: measured fastest plan at 2^20 (v9);
+        # generic but only A/B-validated on the BN254-G1 path, so other
+        # curves keep the v7 flat sort
+        plan = "wsort" if is_bn_g1 else "sort"
     if level1 is None:
-        level1 = "mega" if is_bn_g1 else "steps"
-    if level1 == "pair" and (accum != "affine" or plan not in ("sort", "wsort") or L & (L - 1)):
+        # the pairwise-tree batched-affine level-1 (v8) beats the RCB mega
+        # kernel by ~5% at 2^20 (benches/msm_ab.py r5); needs affine accum
+        # and power-of-two L
+        if is_bn_g1 and (accum is None or accum == "affine") and L & (L - 1) == 0:
+            level1 = "pair"
+        else:
+            level1 = "mega" if is_bn_g1 else "steps"
+    if level1 == "pair" and (
+        accum != "affine" or plan not in ("sort", "wsort", "tsort") or L & (L - 1)
+    ):
         # The pairwise tree needs the sorted slab + affine ops; downgrading a
         # caller's explicit request silently would mislabel A/B benchmarks.
         import warnings
@@ -927,8 +1042,34 @@ def msm_tpu(
     else:
         ops = proj
 
-    assert plan in ("sort", "wsort", "gather")
-    if plan in ("sort", "wsort"):
+    assert plan in ("sort", "wsort", "tsort", "gather")
+    if plan == "tsort" and (
+        level1 not in ("mega", "pair")
+        or not is_bn_g1
+        or (level1 == "pair" and (accum != "affine" or L & (L - 1)))
+    ):
+        plan = "wsort"  # the planar kernels are BN254-G1 mega/pair paths
+    if plan == "tsort":
+        from ..curves import pallas_curve as _pc
+        from ..curves.proj import Proj
+
+        blkc = _pc.MEGA_BLKC if _pc._on_tpu() else 128
+        planes, col_bucket, (W, B, NB, n_in, ncols, nlimb) = _plan_sorted_t(
+            ax, ay, scalars, c, L, nbits, lambda y: jf.neg(f.spec, y), blkc=blkc
+        )
+        if L % 8 == 0:
+            slab_t = _pc.interleave_slab_t(planes, blkc=blkc)
+        else:  # tiny-L test shapes: XLA interleave (fine at test scale)
+            W_, L_, mc_ = planes[0].shape
+            slab_t = (
+                jnp.stack(planes, axis=2).transpose(1, 2, 0, 3).reshape(L_ * nlimb, W_ * mc_)
+            )
+        if level1 == "mega":
+            x, y, z = _pc.l1_rcb_mega(slab_t, L, blkc=blkc)
+            acc = ops.from_proj(x, y, z) if accum == "affine" else Proj(x, y, z)
+        else:
+            acc = ops.unpack_rows(_pc.l1_aff_halves_t(slab_t, L, max_blk=blkc).T)
+    elif plan in ("sort", "wsort"):
         from ..curves import pallas_curve as _pc
         from ..curves.proj import Proj
 

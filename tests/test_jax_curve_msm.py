@@ -207,3 +207,32 @@ def test_msm_tpu_wsort_plan_matches_host():
         out = f(jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(sc))
         got = G1.unpack_jacobian(jax.tree.map(lambda a: a[None], out))[0]
         assert got == expected, level1
+
+
+def test_msm_tpu_tsort_plan_matches_host():
+    """msm_tpu plan="tsort" (v10: transposed-placement payload sort ->
+    word-planar slab, planar level-1 kernels) vs host, with the standard
+    stress set, for both planar level-1 paths."""
+    n = 60
+    pts = [ch.pt_mul(ch.g1_gen(), rng.randrange(1, R)) for _ in range(n)]
+    pts[5] = None
+    pts[7] = pts[6]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    scalars[0] = 0
+    scalars[1] = 1
+    scalars[2] = R - 1
+    scalars[6] = scalars[7]
+    expected = ch.msm_host(pts, scalars)
+    ax, ay = G1.pack_affine(pts)
+    sc = msm_mod.pack_scalars(scalars)
+    # mega at L=8 runs the interleave kernel (interpret); pair at L=4 takes
+    # the XLA-interleave fallback — both orientations covered
+    for level1, L in (("mega", 8), ("pair", 4)):
+        f = jax.jit(
+            lambda ax, ay, sc, l1=level1, L=L: msm_mod.msm_tpu(
+                G1, ax, ay, sc, c=6, L=L, plan="tsort", level1=l1
+            )
+        )
+        out = f(jnp.asarray(ax), jnp.asarray(ay), jnp.asarray(sc))
+        got = G1.unpack_jacobian(jax.tree.map(lambda a: a[None], out))[0]
+        assert got == expected, level1
